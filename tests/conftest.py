@@ -1,0 +1,30 @@
+"""Test configuration: force CPU with a virtual 8-device mesh so sharding
+tests run without TPU hardware (SURVEY.md section 4, tier 5)."""
+
+import os
+
+_platform = os.environ.get("TPUMIL_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The hosting environment's site customization can force its own TPU platform
+# regardless of JAX_PLATFORMS; the config update below wins.
+jax.config.update("jax_platforms", _platform)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

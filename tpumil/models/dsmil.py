@@ -1,0 +1,195 @@
+"""Dual-stream MIL aggregator (DSMIL), TPU-native.
+
+Reproduces the model math of the reference (dsmil.py:6-74) as pure functions
+over parameter pytrees, redesigned for XLA:
+
+  * Bags are batched along a leading axis with padding masks
+    (``feats [B, N, K]``, ``mask [B, N]``) instead of the reference's
+    one-unpadded-bag-per-call eager forward — every matmul lands on the MXU
+    as one large batched contraction.
+  * The reference's ``torch.sort`` critical-instance selection (dsmil.py:52)
+    becomes a masked argmax + gather.
+  * The per-class ``Conv1d(C, C, kernel_size=K)`` bag head (dsmil.py:44,60)
+    is a full contraction, expressed as an einsum.
+
+Math per bag, given instance features ``feats in R^{N x K}`` (dsmil.py:46-62):
+
+  1. instance logits   c = feats @ Wi^T + bi                      [N, C]
+  2. queries           Q = q(feats)                               [N, D] (D=128)
+  3. values            V = feats (default) or ReLU(Linear(feats)) [N, K]
+  4. critical feats    m = feats[argmax_N c]                      [C, K]
+  5. attention         A = softmax_N(Q @ q(m)^T / sqrt(D))        [N, C]
+  6. bag embedding     B = A^T V                                  [C, K]
+  7. bag logits        out_d = sum_{c,k} Wf[d,c,k] * B[c,k] + bf  [C]
+
+Parameter pytree layout keeps the torch ``[out, in]`` weight orientation so
+``.pth`` import/export (tpumil.io.torch_ckpt) is a pure re-keying:
+
+  {"i_fc": {"w": [C,K], "b": [C]},
+   "q":    nonlinear -> {"w0": [D,K], "b0": [D], "w2": [D,D], "b2": [D]}
+           linear    -> {"w": [D,K], "b": [D]},
+   "v":    passing_v -> {"w": [K,K], "b": [K]} else {} (identity),
+   "fcc":  {"w": [C,C,K], "b": [C]}}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tpumil.ops.init import orthogonal_torch
+from tpumil.ops.masked import masked_argmax, masked_max, masked_softmax
+
+ATTN_DIM = 128  # the reference hard-codes 128 query dims (dsmil.py:31-33)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class DSMILConfig:
+    feats_size: int
+    num_classes: int
+    nonlinear: bool = True       # reference default in train_tcga.py:213,237
+    passing_v: bool = False      # reference default (dsmil.py:28)
+    dropout_v: float = 0.0
+    # Compute dtype for the attention/matmul path; params stay f32.
+    compute_dtype: Any = jnp.float32
+
+
+def init_params(key, cfg: DSMILConfig) -> Params:
+    """Orthogonal weights / zero biases, matching the reference init
+    (train_tcga.py:229-233)."""
+    keys = jax.random.split(key, 5)
+    k = cfg.feats_size
+    c = cfg.num_classes
+    params: Params = {
+        "i_fc": {"w": orthogonal_torch(keys[0], (c, k)), "b": jnp.zeros((c,))},
+        "fcc": {"w": orthogonal_torch(keys[1], (c, c, k)), "b": jnp.zeros((c,))},
+    }
+    if cfg.nonlinear:
+        params["q"] = {
+            "w0": orthogonal_torch(keys[2], (ATTN_DIM, k)),
+            "b0": jnp.zeros((ATTN_DIM,)),
+            "w2": orthogonal_torch(keys[3], (ATTN_DIM, ATTN_DIM)),
+            "b2": jnp.zeros((ATTN_DIM,)),
+        }
+    else:
+        params["q"] = {"w": orthogonal_torch(keys[2], (ATTN_DIM, k)), "b": jnp.zeros((ATTN_DIM,))}
+    if cfg.passing_v:
+        params["v"] = {"w": orthogonal_torch(keys[4], (k, k)), "b": jnp.zeros((k,))}
+    else:
+        params["v"] = {}
+    return params
+
+
+def _linear(x, w, b):
+    return jnp.matmul(x, w.T) + b
+
+
+def apply_q(params: Params, x, compute_dtype=jnp.float32):
+    """The query stream: Linear->ReLU->Linear->Tanh (nonlinear, dsmil.py:31)
+    or a single Linear (dsmil.py:33)."""
+    q = params["q"]
+    x = x.astype(compute_dtype)
+    if "w0" in q:
+        h = jax.nn.relu(_linear(x, q["w0"].astype(compute_dtype), q["b0"].astype(compute_dtype)))
+        return jnp.tanh(_linear(h, q["w2"].astype(compute_dtype), q["b2"].astype(compute_dtype)))
+    return _linear(x, q["w"].astype(compute_dtype), q["b"].astype(compute_dtype))
+
+
+def apply_v(params: Params, x, *, dropout_rng=None, dropout_v: float = 0.0,
+            compute_dtype=jnp.float32):
+    """The value stream: identity by default; Dropout->Linear->ReLU when
+    ``passing_v`` (dsmil.py:34-41)."""
+    v = params["v"]
+    if not v:
+        return x.astype(compute_dtype)
+    x = x.astype(compute_dtype)
+    if dropout_rng is not None and dropout_v > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_v, x.shape)
+        x = jnp.where(keep, x / (1.0 - dropout_v), 0.0)
+    return jax.nn.relu(_linear(x, v["w"].astype(compute_dtype), v["b"].astype(compute_dtype)))
+
+
+def instance_logits(params: Params, feats, compute_dtype=jnp.float32):
+    """Per-instance class logits ``c = feats @ Wi^T + bi`` (dsmil.py:19,24)."""
+    return _linear(feats.astype(compute_dtype),
+                   params["i_fc"]["w"].astype(compute_dtype),
+                   params["i_fc"]["b"].astype(compute_dtype))
+
+
+def forward(params: Params, feats, mask=None, *, ins_logits=None,
+            dropout_rng=None, dropout_v: float = 0.0,
+            compute_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Batched DSMIL forward.
+
+    Args:
+      feats: ``[B, N, K]`` (or ``[N, K]`` — a batch dim is added) padded bag
+        features.
+      mask: ``[B, N]`` bool, True = real instance; None = all real.
+      ins_logits: optionally precomputed ``[B, N, C]`` instance logits (the
+        inference scripts compute them streaming on the embedder device,
+        reference attention_map.py:74-85).
+
+    Returns:
+      (ins_logits [B,N,C], bag_logits [B,C], A [B,N,C], Bemb [B,C,K]) —
+      the same quadruple as the reference ``MILNet.forward`` (dsmil.py:70-74),
+      batched. Attention of padded rows is exactly 0.
+    """
+    squeeze = feats.ndim == 2
+    if squeeze:
+        feats = feats[None]
+        if mask is not None:
+            mask = mask[None]
+        if ins_logits is not None:
+            ins_logits = ins_logits[None]
+
+    f = feats.astype(compute_dtype)
+    c = ins_logits.astype(compute_dtype) if ins_logits is not None else instance_logits(params, f, compute_dtype)
+
+    q = apply_q(params, f, compute_dtype)                       # [B, N, D]
+    v = apply_v(params, f, dropout_rng=dropout_rng, dropout_v=dropout_v,
+                compute_dtype=compute_dtype)                    # [B, N, K]
+
+    # Critical-instance selection: per-class argmax over instances
+    # (dsmil.py:52-53).
+    crit = masked_argmax(c, mask, axis=1)                       # [B, C]
+    m_feats = jnp.take_along_axis(f, crit[..., None], axis=1)   # [B, C, K]
+    q_max = apply_q(params, m_feats, compute_dtype)             # [B, C, D]
+
+    # Attention over instances (dsmil.py:54-56). softmax is over N.
+    scale = 1.0 / jnp.sqrt(jnp.asarray(ATTN_DIM, dtype=compute_dtype))
+    a_logits = jnp.einsum("bnd,bcd->bnc", q, q_max) * scale     # [B, N, C]
+    attn = masked_softmax(a_logits, mask, axis=1)               # [B, N, C]
+
+    # Bag embedding B = A^T V (dsmil.py:57) and the Conv1d-as-contraction bag
+    # head (dsmil.py:44,59-61).
+    bemb = jnp.einsum("bnc,bnk->bck", attn, v)                  # [B, C, K]
+    wf = params["fcc"]["w"].astype(compute_dtype)
+    bag_logits = jnp.einsum("bck,dck->bd", bemb, wf) + params["fcc"]["b"].astype(compute_dtype)
+
+    if squeeze:
+        return c[0], bag_logits[0], attn[0], bemb[0]
+    return c, bag_logits, attn, bemb
+
+
+def max_instance_logits(ins_logits, mask=None):
+    """``max_N`` of the instance stream, used by the dual loss
+    (train_tcga.py:68) and the ``--average`` inference path
+    (train_tcga.py:106-108). Instance axis is -2."""
+    return masked_max(ins_logits, mask, axis=-2)
+
+
+def bag_scores(params: Params, feats, mask=None, *, average: bool = False,
+               compute_dtype=jnp.float32):
+    """Inference scores: ``sigmoid(bag_logits)``, optionally averaged with the
+    sigmoid of the max instance logit (train_tcga.py:106-108 — note the
+    reference *sums* the two sigmoids without dividing when ``--average``;
+    we reproduce that exactly)."""
+    c, bag_logits, _, _ = forward(params, feats, mask, compute_dtype=compute_dtype)
+    if average:
+        return jax.nn.sigmoid(bag_logits) + jax.nn.sigmoid(max_instance_logits(c, mask))
+    return jax.nn.sigmoid(bag_logits)
