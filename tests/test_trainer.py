@@ -1,0 +1,111 @@
+"""Trainer tests: optimizer parity with torch Adam, convergence on synthetic
+separable MIL data, patch dropout semantics."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpumil.data.bags import Bag, bucket_length, bucketed_chunks, pad_bags
+from tpumil.models.dsmil import DSMILConfig
+from tpumil.train.optim import adam_torch, cosine_annealing_lr
+from tpumil.train.trainer import BagTrainer, patch_dropout_mask
+from tpumil.train import metrics
+
+from synth import make_separable_bags
+
+
+def test_adam_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(3)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    grads = [rng.standard_normal((4, 3)).astype(np.float32) for _ in range(5)]
+    lr, wd = 1e-2, 1e-3
+
+    # torch
+    p_t = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([p_t], lr=lr, betas=(0.5, 0.9), weight_decay=wd)
+    for g in grads:
+        opt.zero_grad()
+        p_t.grad = torch.from_numpy(g.copy())
+        opt.step()
+
+    # tpumil
+    opt_j = adam_torch(betas=(0.5, 0.9), weight_decay=wd)
+    params = {"w": jnp.asarray(w0)}
+    state = opt_j.init(params)
+    for g in grads:
+        params, state = opt_j.step(params, state, {"w": jnp.asarray(g)}, lr)
+
+    np.testing.assert_allclose(np.asarray(params["w"]), p_t.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cosine_annealing_matches_torch():
+    torch = pytest.importorskip("torch")
+    lr0, T, eta = 2e-4, 40, 5e-6
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=lr0)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T, eta)
+    lr_of = cosine_annealing_lr(lr0, T, eta)
+    for epoch in range(T):
+        np.testing.assert_allclose(opt.param_groups[0]["lr"], lr_of(epoch), rtol=1e-6)
+        sched.step()
+
+
+def test_bucketing():
+    assert bucket_length(1) == 16
+    assert bucket_length(16) == 16
+    assert bucket_length(17) == 32
+    rng = np.random.default_rng(0)
+    bags = [Bag(np.zeros((n, 4), np.float32), np.zeros(1, np.float32), str(i))
+            for i, n in enumerate([3, 20, 18, 5, 100])]
+    chunks = list(bucketed_chunks(bags, [0, 1, 2, 3, 4], chunk_size=2))
+    seen = sorted(i for idxs, _ in chunks for i in idxs)
+    assert seen == [0, 1, 2, 3, 4]
+    for idxs, nmax in chunks:
+        for i in idxs:
+            assert bags[i].num_instances <= nmax
+
+
+def test_patch_dropout_mask():
+    mask = jnp.asarray(np.arange(32) < 20)
+    out = patch_dropout_mask(jax.random.PRNGKey(0), mask, 0.5)
+    assert int(out.sum()) == 10  # floor(20 * 0.5)
+    assert bool(jnp.all(~out[20:]))  # never resurrects padding
+    out_full = patch_dropout_mask(jax.random.PRNGKey(0), mask, 1.0)
+    assert int(out_full.sum()) == 20
+
+
+def test_trainer_converges_on_separable_bags():
+    rng = np.random.default_rng(7)
+    bags = make_separable_bags(rng, num_bags=30, feats=24)
+    cfg = DSMILConfig(feats_size=24, num_classes=1)
+    trainer = BagTrainer(cfg, optimizer=adam_torch(betas=(0.5, 0.9), weight_decay=1e-3),
+                         chunk_size=8)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    labels = np.asarray([float(b.label[0]) for b in bags])
+    first_loss = None
+    for epoch in range(12):
+        params, opt_state, loss = trainer.train_epoch(params, opt_state, bags, 2e-4, rng)
+        if first_loss is None:
+            first_loss = loss
+    scores, _ = trainer.predict(params, bags)
+    acc, auc, *_ = metrics.five_scores(labels, scores[:, 0])
+    assert loss < first_loss
+    assert auc > 0.95, f"expected near-perfect train AUC on separable data, got {auc}"
+
+
+def test_predict_order_and_average():
+    rng = np.random.default_rng(1)
+    bags = make_separable_bags(rng, num_bags=10, feats=16)
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    trainer = BagTrainer(cfg, eval_batch=3)
+    params, _ = trainer.init(jax.random.PRNGKey(0))
+    scores, losses = trainer.predict(params, bags)
+    # one-by-one must agree with batched-bucketed
+    for i, b in enumerate(bags):
+        s_i, _ = trainer.predict(params, [b])
+        np.testing.assert_allclose(scores[i], s_i[0], rtol=1e-4, atol=1e-5)
+    avg, _ = trainer.predict(params, bags, average=True)
+    assert np.all(avg >= scores - 1e-6)  # sum of two sigmoids >= one sigmoid

@@ -1,0 +1,116 @@
+"""WSI trainer schemes + feature store end-to-end on synthetic feature bags
+(SURVEY.md section 4 tier 3): CSV contract -> cache -> train -> thresholds ->
+weights export -> reload parity."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tpumil.data.feature_store import (
+    BagCache,
+    build_dataset_csvs,
+    encode_label,
+    read_master_csv,
+    write_bag_csv,
+)
+from tpumil.train.schemes import (
+    WSITrainConfig,
+    run_5fold_cv,
+    run_5fold_cv_standalone_test,
+)
+
+from synth import make_multiclass_bags, make_separable_bags
+
+
+def _write_feature_dataset(tmp_path, bags, class_of):
+    """Lay out per-class bag CSVs + master CSV exactly like compute_feats."""
+    root = str(tmp_path / "datasets" / "synth")
+    for i, bag in enumerate(bags):
+        write_bag_csv(bag.feats, os.path.join(root, class_of(bag), f"bag{i}.csv"))
+    rng = np.random.default_rng(0)
+    return build_dataset_csvs(root, "synth", rng=rng)
+
+
+def test_encode_label():
+    np.testing.assert_array_equal(encode_label(1, 1), [1.0])
+    np.testing.assert_array_equal(encode_label(0, 2), [1.0, 0.0])
+    np.testing.assert_array_equal(encode_label(1, 2), [0.0, 1.0])
+    np.testing.assert_array_equal(encode_label(5, 2), [0.0, 0.0])  # out of range
+
+
+def test_feature_store_roundtrip(tmp_path, rng):
+    bags = make_separable_bags(rng, num_bags=8, feats=16)
+    master = _write_feature_dataset(tmp_path, bags,
+                                    lambda b: "pos" if b.label[0] else "neg")
+    entries = read_master_csv(master)
+    assert len(entries) == 8
+    cache = BagCache(str(tmp_path / "cache"))
+    paths = cache.build(entries, num_classes=1, seed=0)
+    loaded = cache.load_all(paths)
+    # class dirs sort as neg=0, pos=1 so label is 1 for pos bags
+    by_name = {os.path.splitext(os.path.basename(e[0]))[0]: e for e in entries}
+    for bag in loaded:
+        entry_path, label = by_name[bag.name]
+        assert bag.label[0] == float(label)
+        orig = np.loadtxt(entry_path, delimiter=",", skiprows=1, dtype=np.float32)
+        # rows were shuffled at cache time; compare as sorted sets
+        np.testing.assert_allclose(np.sort(bag.feats, axis=0), np.sort(orig, axis=0),
+                                   atol=1e-4)
+
+
+def test_5fold_cv_binary(tmp_path, rng):
+    bags = make_separable_bags(rng, num_bags=40, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    cfg = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=14, lr=1e-3,
+                         stop_epochs=6, verbose=False, seed=0)
+    save_dir = str(tmp_path / "weights")
+    out = run_5fold_cv(bags, cfg, log=lambda s: None, save_dir=save_dir)
+    assert len(out["folds"]) == 5
+    assert out["mean_accuracy"] > 0.5
+    # best model + thresholds persisted per fold
+    assert len(glob.glob(os.path.join(save_dir, "fold_*.pth"))) == 5
+    with open(os.path.join(save_dir, "fold_0.json")) as f:
+        th = json.load(f)
+    assert len(th) == 1 and 0.0 <= th[0] <= 1.0
+
+
+def test_standalone_test_multiclass(tmp_path, rng):
+    bags = make_multiclass_bags(rng, num_bags=40, feats=16, num_classes=2, signal=5.0)
+    cfg = WSITrainConfig(feats_size=16, num_classes=2, num_epochs=4, lr=1e-3,
+                         stop_epochs=2, verbose=False, seed=0)
+    save_dir = str(tmp_path / "weights")
+    out = run_5fold_cv_standalone_test(bags, cfg, log=lambda s: None, save_dir=save_dir)
+    assert "hamming_loss" in out["final"] and "subset_accuracy" in out["final"]
+    # exports: 5 fold weights + thresholds + the holdout list
+    test_dir = os.path.join(save_dir, "test")
+    assert len(glob.glob(os.path.join(test_dir, "mil_weights_fold_*.pth"))) == 5
+    assert len(glob.glob(os.path.join(test_dir, "mil_threshold_fold_*.json"))) == 5
+    with open(os.path.join(test_dir, "test_list.json")) as f:
+        holdout = json.load(f)
+    assert len(holdout) == int(0.2 * len(bags))
+
+    # exported weights must load back through the .pth reader
+    from tpumil.io import torch_ckpt
+    params, cfg2 = torch_ckpt.load_aggregator_pth(
+        os.path.join(test_dir, "mil_weights_fold_0.pth"))
+    assert cfg2.num_classes == 2 and cfg2.feats_size == 16
+
+
+def test_abmil_model_trains(rng):
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.train.trainer import BagTrainer
+    bags = make_separable_bags(rng, num_bags=12, feats=16, signal=5.0,
+                               pos_inst_frac=0.4)
+    trainer = BagTrainer(DSMILConfig(feats_size=16, num_classes=1), model="abmil",
+                         chunk_size=4)
+    import jax
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    params, opt_state, loss0 = trainer.train_epoch(params, opt_state, bags, 1e-3, rng)
+    for _ in range(4):
+        params, opt_state, loss = trainer.train_epoch(params, opt_state, bags, 1e-3, rng)
+    assert loss < loss0
+    scores, _ = trainer.predict(params, bags)
+    assert scores.shape == (12, 1)

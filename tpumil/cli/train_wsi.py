@@ -1,0 +1,87 @@
+"""Train the DSMIL aggregator on precomputed WSI features — CLI mirror of the
+reference train_tcga.py:199-433 (flags, eval schemes, and outputs)."""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Train DSMIL on patch features learned by SimCLR (TPU-native)")
+    parser.add_argument("--num_classes", default=2, type=int,
+                        help="Number of output classes [2]")
+    parser.add_argument("--feats_size", default=512, type=int,
+                        help="Dimension of the feature size [512]")
+    parser.add_argument("--lr", default=0.0001, type=float, help="Initial learning rate [0.0001]")
+    parser.add_argument("--num_epochs", default=50, type=int, help="Number of training epochs [50]")
+    parser.add_argument("--stop_epochs", default=10, type=int,
+                        help="Early stop after N epochs without improvement [10]")
+    parser.add_argument("--weight_decay", default=1e-3, type=float, help="Weight decay [1e-3]")
+    parser.add_argument("--dataset", default="TCGA-lung-default", type=str,
+                        help="Dataset folder name")
+    parser.add_argument("--split", default=0.2, type=float, help="Test split fraction [0.2]")
+    parser.add_argument("--model", default="dsmil", type=str, help="MIL model [dsmil|abmil]")
+    parser.add_argument("--dropout_patch", default=0, type=float, help="Patch dropout rate [0]")
+    parser.add_argument("--dropout_node", default=0, type=float, help="Bag classifier dropout rate [0]")
+    parser.add_argument("--non_linearity", default=1, type=float, help="Additional nonlinear operation [1]")
+    parser.add_argument("--average", action="store_true",
+                        help="Average the score of max-pooling and bag aggregating")
+    parser.add_argument("--eval_scheme", default="5-fold-cv", type=str,
+                        help="[5-fold-cv | 5-fold-cv-standalone-test | 5-time-train+valid+test]")
+    parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
+    parser.add_argument("--cache_dir", default="temp_train", type=str)
+    parser.add_argument("--save_root", default="weights", type=str)
+    args = parser.parse_args(argv)
+    print(args.eval_scheme)
+
+    from tpumil.utils.platform import select_platform
+
+    select_platform(args.device)
+
+    from tpumil.data.feature_store import BagCache, read_master_csv
+    from tpumil.train.schemes import (
+        WSITrainConfig,
+        run_5fold_cv,
+        run_5fold_cv_standalone_test,
+        run_5time_tvt,
+    )
+
+    if args.dataset == "TCGA-lung-default":
+        bags_csv = "datasets/tcga-dataset/TCGA.csv"
+    else:
+        bags_csv = os.path.join("datasets", args.dataset, args.dataset + ".csv")
+
+    cache = BagCache(args.cache_dir)
+    print("Creating intermediate training files.")
+    cache.build(read_master_csv(bags_csv), args.num_classes, dataset=args.dataset,
+                seed=args.seed, log=lambda s: sys.stdout.write(s))
+    bags = cache.load_all()
+
+    cfg = WSITrainConfig(
+        feats_size=args.feats_size, num_classes=args.num_classes, lr=args.lr,
+        num_epochs=args.num_epochs, stop_epochs=args.stop_epochs,
+        weight_decay=args.weight_decay, split=args.split,
+        dropout_patch=args.dropout_patch, dropout_node=args.dropout_node,
+        nonlinear=bool(args.non_linearity), average=args.average,
+        seed=args.seed, model=args.model)
+
+    save_dir = os.path.join(args.save_root, datetime.date.today().strftime("%Y%m%d"))
+    if args.eval_scheme == "5-fold-cv":
+        run_5fold_cv(bags, cfg, save_dir=save_dir)
+    elif args.eval_scheme == "5-time-train+valid+test":
+        run_5time_tvt(bags, cfg, save_dir=save_dir)
+    elif args.eval_scheme == "5-fold-cv-standalone-test":
+        run_5fold_cv_standalone_test(bags, cfg, save_dir=save_dir)
+    else:
+        parser.error(f"unknown eval scheme {args.eval_scheme}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""Device mesh construction and sharding specs.
+
+The reference has no distributed backend at all (SURVEY.md section 2.3); its
+only parallelism is single-process ``nn.DataParallel``. The TPU-native design
+scales through a 2-D ``jax.sharding.Mesh``:
+
+  * ``data`` axis — bags (data parallel): each chip owns a slice of the bag
+    batch; gradients are summed by XLA.
+  * ``inst`` axis — instances within a bag (sequence parallel): a giant
+    Camelyon16 bag (O(10^4) patches, SURVEY.md section 5) is sharded along N;
+    the masked argmax, the softmax over N, and A^T V become cross-chip
+    reductions which XLA/GSPMD lowers onto ICI collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+INST_AXIS = "inst"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              inst_parallel: Optional[int] = None) -> Mesh:
+    """Build a (data, inst) mesh over the first ``n_devices`` devices.
+
+    ``inst_parallel`` chips cooperate on each bag's instance axis; the rest
+    of the devices form the data axis. Default: inst=2 when the device count
+    is even and >1, else 1.
+    """
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if inst_parallel is None:
+        inst_parallel = 2 if n % 2 == 0 and n > 1 else 1
+    if n % inst_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by inst_parallel={inst_parallel}")
+    grid = np.asarray(devices).reshape(n // inst_parallel, inst_parallel)
+    return Mesh(grid, (DATA_AXIS, INST_AXIS))
+
+
+def bag_batch_sharding(mesh: Mesh) -> Tuple[NamedSharding, NamedSharding, NamedSharding]:
+    """(feats [B,N,K], mask [B,N], labels [B,C]) shardings: bags over the
+    data axis, instances over the inst axis, features/classes replicated."""
+    return (
+        NamedSharding(mesh, P(DATA_AXIS, INST_AXIS, None)),
+        NamedSharding(mesh, P(DATA_AXIS, INST_AXIS)),
+        NamedSharding(mesh, P(DATA_AXIS, None)),
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,361 @@
+"""Evaluation schemes.
+
+Classic-MIL k-fold CV (reference train_mil.py:112-187) and the three WSI
+schemes of train_tcga.py (5-fold-cv :252, 5-time-train+valid+test :297,
+5-fold-cv-standalone-test :350) over precomputed feature bags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from tpumil.data.bags import Bag
+from tpumil.data.mil_bench import (
+    compute_pos_weight,
+    cross_validation_split,
+    shuffle_with_class_coverage,
+)
+from tpumil.models.dsmil import DSMILConfig
+from tpumil.train import metrics
+from tpumil.train.optim import adam_torch, cosine_annealing_lr
+from tpumil.train.trainer import BagTrainer
+
+
+# ---------------------------------------------------------------------------
+# Classic MIL benchmarks (train_mil.py)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class MILBenchConfig:
+    num_feats: int
+    lr: float = 2e-4                  # train_mil.py:115
+    num_epochs: int = 40              # train_mil.py:116
+    cv_fold: int = 10                 # train_mil.py:117
+    weight_decay: float = 5e-3        # train_mil.py:118
+    seed: int = 0
+    verbose: bool = True
+    model: str = "dsmil"              # train_mil.py:119
+    use_device_store: bool = True
+
+
+def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
+               log: Callable[[str], None] = print,
+               model: Optional[str] = None) -> Tuple[float, float, List[float]]:
+    """k-fold CV on a classic MIL dataset. Per fold: fresh model, Adam with
+    pos_weight'd BCE, cosine LR to 0, track the best epoch accuracy
+    (train_mil.py:164-187). Returns (mean_acc, std_acc, per_fold_accs).
+
+    Note: the reference re-shuffles each bag's instance rows every epoch
+    (train_mil.py:46); DSMIL is permutation-invariant over instances so this
+    is a mathematical no-op and is omitted here.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    bags = shuffle_with_class_coverage(list(bags), cfg.cv_fold, rng)
+    lr_of = cosine_annealing_lr(cfg.lr, cfg.num_epochs, 0.0)
+    accs = []
+    for k in range(cfg.cv_fold):
+        train_bags, test_bags = cross_validation_split(bags, cfg.cv_fold, k)
+        pos_weight = compute_pos_weight(train_bags)
+        model_cfg = DSMILConfig(feats_size=cfg.num_feats, num_classes=1)
+        trainer = BagTrainer(
+            model_cfg,
+            optimizer=adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay),
+            pos_weight=np.asarray([pos_weight], np.float32),
+            model=model or cfg.model,
+        )
+        # the reference does NOT orthogonal-init in train_mil (default torch
+        # init), but init distribution does not change the measured behaviour
+        # class; we keep one init path for both harnesses.
+        params, opt_state = trainer.init(jax.random.PRNGKey(cfg.seed + 1000 * k))
+        best_acc = 0.0
+        labels = np.asarray([float(b.label[0]) for b in test_bags])
+        if cfg.use_device_store:
+            from tpumil.data.device_store import DeviceBagStore
+
+            train_bags = DeviceBagStore(train_bags)
+            test_bags = DeviceBagStore(test_bags)
+        for epoch in range(cfg.num_epochs):
+            params, opt_state, train_loss = trainer.train_epoch(
+                params, opt_state, train_bags, lr_of(epoch), rng)
+            scores, losses = trainer.predict(params, test_bags)
+            acc, auc, prec, rec, f1 = metrics.five_scores(labels, scores[:, 0])
+            best_acc = max(best_acc, acc)
+            if cfg.verbose:
+                log(f" fold {k} epoch {epoch + 1}/{cfg.num_epochs} "
+                    f"train_loss {train_loss:.4f} test_loss {float(np.mean(losses)):.4f} "
+                    f"acc {acc:.4f} auc {auc:.4f} p {prec:.4f} r {rec:.4f} f1 {f1:.4f}")
+        log(f" fold {k} optimal accuracy: {best_acc:.4f}")
+        accs.append(best_acc)
+    mean, std = float(np.mean(accs)), float(np.std(accs))
+    log(f"Cross validation accuracy mean: {mean:.4f}, std {std:.4f}")
+    return mean, std, accs
+
+
+# ---------------------------------------------------------------------------
+# WSI schemes (train_tcga.py)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class WSITrainConfig:
+    feats_size: int = 512             # train_tcga.py:202
+    num_classes: int = 2              # train_tcga.py:201
+    lr: float = 1e-4                  # train_tcga.py:203
+    num_epochs: int = 50              # train_tcga.py:204
+    stop_epochs: int = 10             # train_tcga.py:205
+    weight_decay: float = 1e-3        # train_tcga.py:207
+    split: float = 0.2                # train_tcga.py:209
+    dropout_patch: float = 0.0        # train_tcga.py:211
+    dropout_node: float = 0.0         # train_tcga.py:212
+    nonlinear: bool = True            # train_tcga.py:213
+    average: bool = False             # train_tcga.py:214
+    eta_min: float = 5e-6             # train_tcga.py:242
+    seed: int = 0
+    verbose: bool = True
+    model: str = "dsmil"              # train_tcga.py:210
+    # Ship each fold's bags to HBM once and train with zero per-step
+    # host->device feature traffic (vs the reference's torch.load per step,
+    # train_tcga.py:62).
+    use_device_store: bool = True
+
+
+def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
+    model_cfg = DSMILConfig(
+        feats_size=cfg.feats_size, num_classes=cfg.num_classes,
+        nonlinear=cfg.nonlinear, dropout_v=cfg.dropout_node)
+    return BagTrainer(
+        model_cfg,
+        optimizer=adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay),
+        dropout_patch=cfg.dropout_patch,
+        model=cfg.model,
+    )
+
+
+def evaluate_bags(trainer: BagTrainer, params, bags,
+                  cfg: WSITrainConfig, thresholds: Optional[List[float]] = None,
+                  rng: Optional[np.random.Generator] = None):
+    """The reference's ``test()`` (train_tcga.py:85-132): scores, AUCs,
+    optimal (or provided) thresholds, binarised predictions, exact-match
+    accuracy. ``bags`` may be a Sequence[Bag] or DeviceBagStore."""
+    from tpumil.data.device_store import DeviceBagStore
+
+    if isinstance(bags, DeviceBagStore):
+        labels = bags.labels
+    else:
+        labels = np.stack([np.atleast_1d(b.label) for b in bags])
+    scores, losses = trainer.predict(params, bags, average=cfg.average, rng=rng)
+    aucs, _, thresholds_optimal = metrics.multi_label_roc(
+        labels, scores, cfg.num_classes)
+    if thresholds is not None:
+        thresholds_optimal = list(thresholds)
+    preds = metrics.binarize(
+        scores if cfg.num_classes > 1 else scores[:, 0], thresholds_optimal)
+    avg_score = metrics.exact_match_score(
+        labels if cfg.num_classes > 1 else labels[:, 0], preds)
+    return {
+        "loss": float(np.mean(losses)),
+        "avg_score": avg_score,
+        "aucs": aucs,
+        "thresholds_optimal": [float(t) for t in thresholds_optimal],
+        "predictions": preds,
+        "labels": labels if cfg.num_classes > 1 else labels[:, 0],
+        "scores": scores,
+    }
+
+
+def _kfold_indices(n: int, n_splits: int, seed: int = 42):
+    """KFold(shuffle=True, random_state=42) splits (train_tcga.py:255)."""
+    from sklearn.model_selection import KFold
+
+    kf = KFold(n_splits=n_splits, shuffle=True, random_state=seed)
+    return list(kf.split(np.arange(n)))
+
+
+def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
+               test_bags: Sequence[Bag], cfg: WSITrainConfig,
+               rng: np.random.Generator, init_key,
+               log: Callable[[str], None] = print,
+               save_cb: Optional[Callable] = None):
+    """One fold: train with early stopping on the reference's selection
+    criterion ``(sum(aucs) + acc) / 2`` (train_tcga.py:272-287). Returns
+    (best_params, best_thresholds, best_acc, best_aucs)."""
+    if cfg.use_device_store:
+        from tpumil.data.device_store import DeviceBagStore
+
+        if not isinstance(train_bags, DeviceBagStore):
+            train_bags = DeviceBagStore(train_bags)
+        if not isinstance(test_bags, DeviceBagStore):
+            test_bags = DeviceBagStore(test_bags)
+    params, opt_state = trainer.init(init_key)
+    lr_of = cosine_annealing_lr(cfg.lr, cfg.num_epochs, cfg.eta_min)
+    # Seed with valid defaults so a fold that never clears score 0 (possible
+    # on tiny/degenerate splits) still exports usable weights/thresholds; the
+    # reference would carry best_auc=0 scalars in the same situation
+    # (train_tcga.py:269).
+    best = {"score": 0.0, "params": jax.tree.map(np.asarray, params),
+            "thresholds": [0.5] * cfg.num_classes, "acc": 0.0,
+            "aucs": [0.0] * cfg.num_classes}
+    counter = 0
+    for epoch in range(1, cfg.num_epochs + 1):
+        counter += 1
+        params, opt_state, train_loss = trainer.train_epoch(
+            params, opt_state, train_bags, lr_of(epoch - 1), rng)
+        res = evaluate_bags(trainer, params, test_bags, cfg, rng=rng)
+        if cfg.verbose:
+            auc_str = "|".join(f"class-{i}>>{a:.4f}" for i, a in enumerate(res["aucs"]))
+            log(f" epoch {epoch}/{cfg.num_epochs} train loss: {train_loss:.4f} "
+                f"test loss: {res['loss']:.4f} avg score: {res['avg_score']:.4f} "
+                f"AUC: {auc_str}")
+        score = metrics.current_score(res["avg_score"], res["aucs"])
+        if score > best["score"]:
+            counter = 0
+            best = {"score": score, "params": jax.tree.map(np.asarray, params),
+                    "thresholds": res["thresholds_optimal"],
+                    "acc": res["avg_score"], "aucs": res["aucs"]}
+            if save_cb is not None:
+                save_cb(best["params"], best["thresholds"])
+        if counter > cfg.stop_epochs:
+            break
+    return best
+
+
+def run_5fold_cv(bags: List[Bag], cfg: WSITrainConfig,
+                 log: Callable[[str], None] = print,
+                 save_dir: Optional[str] = None) -> dict:
+    """train_tcga.py:252-294."""
+    trainer = _make_trainer(cfg)
+    rng = np.random.default_rng(cfg.seed)
+    fold_results = []
+    for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(bags), 5)):
+        log(f"Starting CV fold {fold}.")
+        save_cb = _fold_saver(save_dir, fold) if save_dir else None
+        best = train_fold(trainer, [bags[i] for i in tr_idx],
+                          [bags[i] for i in te_idx], cfg, rng,
+                          jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
+        fold_results.append(best)
+    mean_ac = float(np.mean([b["acc"] for b in fold_results]))
+    mean_auc = np.mean(np.array([b["aucs"] for b in fold_results]), axis=0)
+    log(f"Final results: Mean Accuracy: {mean_ac}")
+    for i, a in enumerate(mean_auc):
+        log(f"Class {i}: Mean AUC = {a:.4f}")
+    return {"mean_accuracy": mean_ac, "mean_auc": [float(a) for a in mean_auc],
+            "folds": [{"acc": b["acc"], "aucs": b["aucs"],
+                       "thresholds": b["thresholds"]} for b in fold_results]}
+
+
+def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
+                  log: Callable[[str], None] = print,
+                  save_dir: Optional[str] = None) -> dict:
+    """train_tcga.py:297-348: 5 random train/valid/test splits, model selected
+    on valid. (The reference's final test call crashes on an argument-order
+    bug at train_tcga.py:341; here the held-out test evaluation is performed
+    correctly with the fold's saved thresholds.)"""
+    trainer = _make_trainer(cfg)
+    rng = np.random.default_rng(cfg.seed)
+    results = []
+    for it in range(5):
+        log(f"Starting iteration {it + 1}.")
+        order = rng.permutation(len(bags))
+        n = len(bags)
+        train_end = int(n * (1 - cfg.split - 0.1))
+        val_end = train_end + int(n * 0.1)
+        train_bags = [bags[i] for i in order[:train_end]]
+        val_bags = [bags[i] for i in order[train_end:val_end]]
+        test_bags = [bags[i] for i in order[val_end:]]
+        save_cb = _fold_saver(save_dir, it) if save_dir else None
+        best = train_fold(trainer, train_bags, val_bags, cfg, rng,
+                          jax.random.PRNGKey(cfg.seed + it), log, save_cb)
+        test_res = evaluate_bags(trainer, best["params"], test_bags, cfg,
+                                 thresholds=best["thresholds"], rng=rng)
+        results.append({"val_acc": best["acc"], "val_aucs": best["aucs"],
+                        "test_acc": test_res["avg_score"], "test_aucs": test_res["aucs"]})
+    mean_ac = float(np.mean([r["val_acc"] for r in results]))
+    mean_auc = np.mean(np.array([r["val_aucs"] for r in results]), axis=0)
+    log(f"Final results: Mean Accuracy: {mean_ac}")
+    for i, a in enumerate(mean_auc):
+        log(f"Class {i}: Mean AUC = {a:.4f}")
+    return {"mean_accuracy": mean_ac, "mean_auc": [float(a) for a in mean_auc],
+            "iterations": results}
+
+
+def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
+                                 log: Callable[[str], None] = print,
+                                 save_dir: Optional[str] = None) -> dict:
+    """train_tcga.py:350-429: reserve a ``split`` fraction for standalone
+    testing, 5-fold CV on the rest, then a 5-model majority vote (per-fold
+    optimal thresholds) on the holdout."""
+    from scipy.stats import mode
+
+    trainer = _make_trainer(cfg)
+    rng = np.random.default_rng(cfg.seed)
+    order = rng.permutation(len(bags))
+    n_hold = int(cfg.split * len(bags))
+    holdout = [bags[i] for i in order[:n_hold]]
+    rest = [bags[i] for i in order[n_hold:]]
+
+    fold_models = []
+    fold_results = []
+    for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(rest), 5)):
+        log(f"Starting CV fold {fold}.")
+        save_cb = _fold_saver(save_dir, fold) if save_dir else None
+        best = train_fold(trainer, [rest[i] for i in tr_idx],
+                          [rest[i] for i in te_idx], cfg, rng,
+                          jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
+        fold_models.append((best["params"], best["thresholds"]))
+        fold_results.append(best)
+
+    holdout_eval = holdout
+    if cfg.use_device_store:
+        from tpumil.data.device_store import DeviceBagStore
+
+        holdout_eval = DeviceBagStore(holdout)
+    fold_predictions = []
+    labels = None
+    for params, thresholds in fold_models:
+        res = evaluate_bags(trainer, params, holdout_eval, cfg,
+                            thresholds=thresholds, rng=rng)
+        fold_predictions.append(res["predictions"])
+        labels = res["labels"]
+    stack = np.stack(fold_predictions, axis=0)
+    combined = np.squeeze(mode(stack, axis=0, keepdims=True).mode[0])
+    final = metrics.standalone_test_metrics(labels, combined, cfg.num_classes)
+    for k, v in final.items():
+        log(f"{k}: {v}")
+
+    out = {
+        "final": final,
+        "folds": [{"acc": b["acc"], "aucs": b["aucs"],
+                   "thresholds": b["thresholds"]} for b in fold_results],
+    }
+    if save_dir:
+        from tpumil.io import torch_ckpt
+
+        os.makedirs(os.path.join(save_dir, "test"), exist_ok=True)
+        with open(os.path.join(save_dir, "test", "test_list.json"), "w") as f:
+            json.dump([b.name for b in holdout], f)
+        for i, (params, thresholds) in enumerate(fold_models):
+            torch_ckpt.save_aggregator_pth(
+                params, os.path.join(save_dir, "test", f"mil_weights_fold_{i}.pth"))
+            with open(os.path.join(save_dir, "test", f"mil_threshold_fold_{i}.json"), "w") as f:
+                json.dump([float(t) for t in thresholds], f)
+    return out
+
+
+def _fold_saver(save_dir: str, fold: int):
+    """Best-model persistence matching save_model (train_tcga.py:183-190)."""
+    from tpumil.io import torch_ckpt
+
+    os.makedirs(save_dir, exist_ok=True)
+
+    def save_cb(params, thresholds):
+        path = os.path.join(save_dir, f"fold_{fold}.pth")
+        torch_ckpt.save_aggregator_pth(params, path)
+        with open(os.path.join(save_dir, f"fold_{fold}.json"), "w") as f:
+            json.dump([float(t) for t in thresholds], f)
+
+    return save_cb

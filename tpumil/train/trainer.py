@@ -1,0 +1,236 @@
+"""Compiled per-bag trainer for the DSMIL aggregator.
+
+The reference trains with one optimizer step per bag in an eager Python loop,
+``torch.load``-ing each bag straight to the GPU per step (train_tcga.py:55-76)
+— a host-bound pattern that starves any accelerator. The TPU-native redesign
+keeps the *optimization semantics* (one Adam step per bag, shuffled order,
+identical loss) but compiles the whole inner loop:
+
+  * bags are padded into bucketed chunks (tpumil.data.bags) so only O(log N)
+    program shapes exist;
+  * a chunk of bags becomes ONE ``lax.scan`` over per-bag grad+Adam updates —
+    zero host round-trips inside the chunk;
+  * evaluation runs fully batched (``[B, N, K]`` forward) on device.
+
+A ``batched`` step mode is also provided (true minibatch, averaged loss) for
+users who prefer throughput over reference-exact optimization dynamics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpumil.data.bags import Bag, bucketed_chunks, pad_bags
+from tpumil.models import dsmil
+from tpumil.models.dsmil import DSMILConfig
+from tpumil.ops.losses import bce_with_logits, dual_stream_loss
+from tpumil.train.optim import Optimizer, adam_torch
+
+
+def patch_dropout_mask(rng, mask, keep_frac: float):
+    """Randomly keep ``floor(n_valid * keep_frac)`` instances of a bag by
+    masking the rest — the static-shape equivalent of the reference's random
+    row subsetting (train_tcga.py:78-83; note the reference README calls this
+    "duplication" but the code subsamples — we follow the code)."""
+    n = mask.shape[-1]
+    u = jax.random.uniform(rng, (n,))
+    u = jnp.where(mask, u, jnp.inf)
+    order = jnp.argsort(u)
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    k = jnp.floor(jnp.sum(mask).astype(jnp.float32) * keep_frac).astype(jnp.int32)
+    return mask & (rank < k)
+
+
+@dataclasses.dataclass
+class BagTrainer:
+    """Per-bag DSMIL trainer with reference-equivalent optimization.
+
+    Usage:
+        trainer = BagTrainer(cfg)
+        params, opt_state = trainer.init(jax.random.PRNGKey(0))
+        for epoch in range(E):
+            params, opt_state, loss = trainer.train_epoch(
+                params, opt_state, bags, lr=schedule(epoch), rng=np_rng)
+            scores, losses = trainer.predict(params, bags)
+    """
+
+    cfg: DSMILConfig
+    optimizer: Optimizer = None
+    pos_weight: Optional[np.ndarray] = None
+    dropout_patch: float = 0.0
+    chunk_size: int = 64
+    min_bucket: int = 16
+    eval_batch: int = 64
+    model: str = "dsmil"  # reference --model dsmil|abmil (train_tcga.py:224-227)
+
+    def __post_init__(self):
+        from tpumil.models.registry import get_model
+
+        mil = get_model(self.model)
+        self._mil = mil
+        if self.optimizer is None:
+            self.optimizer = adam_torch(betas=(0.5, 0.9), weight_decay=0.0)
+        pw = None if self.pos_weight is None else jnp.asarray(self.pos_weight)
+
+        def bag_loss(params, feats, mask, label):
+            c, bag_logits, _, _ = mil.forward(
+                params, feats, mask, compute_dtype=self.cfg.compute_dtype)
+            max_logits = mil.max_instance_logits(c, mask)
+            return dual_stream_loss(bag_logits, max_logits, label, pw)
+
+        keep_frac = 1.0 - self.dropout_patch
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_chunk(params, opt_state, feats, mask, labels, lr, rngs):
+            def step(carry, xs):
+                p, s = carry
+                f, m, y, key = xs
+                if self.dropout_patch > 0.0:
+                    m = patch_dropout_mask(key, m, keep_frac)
+                loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y)
+                p, s = self.optimizer.step(p, s, grads, lr)
+                return (p, s), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (feats, mask, labels, rngs))
+            return params, opt_state, jnp.sum(losses)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_bucket(params, opt_state, feats, mask, labels, perm, lr, rngs):
+            """Scan per-bag steps over a device-resident bucket: features
+            never leave HBM; only ``perm`` (the epoch shuffle) and ``lr``
+            cross the host boundary."""
+            def step(carry, xs):
+                p, s = carry
+                i, key = xs
+                f = jnp.take(feats, i, axis=0)
+                m = jnp.take(mask, i, axis=0)
+                y = jnp.take(labels, i, axis=0)
+                if self.dropout_patch > 0.0:
+                    m = patch_dropout_mask(key, m, keep_frac)
+                loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y)
+                p, s = self.optimizer.step(p, s, grads, lr)
+                return (p, s), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (perm, rngs))
+            return params, opt_state, jnp.sum(losses)
+
+        @jax.jit
+        def eval_chunk(params, feats, mask, labels, rngs):
+            if self.dropout_patch > 0.0:
+                # the reference applies patch dropout at test time too
+                # (train_tcga.py:96) — reproduced, off by default.
+                mask = jax.vmap(patch_dropout_mask, in_axes=(0, 0, None))(
+                    rngs, mask, keep_frac)
+            c, bag_logits, _, _ = mil.forward(
+                params, feats, mask, compute_dtype=self.cfg.compute_dtype)
+            max_logits = mil.max_instance_logits(c, mask)
+            bag_l = jax.vmap(lambda x, y: bce_with_logits(x, y, pw))(bag_logits, labels)
+            max_l = jax.vmap(lambda x, y: bce_with_logits(x, y, pw))(max_logits, labels)
+            losses = 0.5 * bag_l + 0.5 * max_l
+            scores = jax.nn.sigmoid(bag_logits)
+            avg_scores = scores + jax.nn.sigmoid(max_logits)
+            return losses, scores, avg_scores
+
+        self._train_chunk = train_chunk
+        self._train_bucket = train_bucket
+        self._eval_chunk = eval_chunk
+
+    # -- public API ---------------------------------------------------------
+
+    def init(self, key):
+        params = self._mil.init_params(key, self.cfg)
+        return params, self.optimizer.init(params)
+
+    def train_epoch(self, params, opt_state, bags, lr: float,
+                    rng: np.random.Generator) -> Tuple[dict, object, float]:
+        """One epoch of shuffled per-bag steps (train_tcga.py:55-76).
+        ``bags`` may be a Sequence[Bag] (features shipped per chunk) or a
+        DeviceBagStore (features resident in HBM — the fast path).
+        Returns (params, opt_state, mean_loss)."""
+        from tpumil.data.device_store import DeviceBagStore
+
+        if isinstance(bags, DeviceBagStore):
+            return self._train_epoch_store(params, opt_state, bags, lr, rng)
+        order = rng.permutation(len(bags))
+        total = 0.0
+        lr = jnp.asarray(lr, jnp.float32)
+        for idxs, nmax in bucketed_chunks(bags, order, self.chunk_size, self.min_bucket):
+            feats, mask, labels = pad_bags([bags[i] for i in idxs], nmax)
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
+            params, opt_state, loss = self._train_chunk(
+                params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
+                jnp.asarray(labels), lr, keys)
+            total += float(loss)
+        return params, opt_state, total / max(len(bags), 1)
+
+    def _train_epoch_store(self, params, opt_state, store, lr,
+                           rng: np.random.Generator):
+        lr = jnp.asarray(lr, jnp.float32)
+        total = 0.0
+        sizes = list(store.bucket_sizes)
+        rng.shuffle(sizes)
+        for nmax in sizes:
+            feats, mask, labels = store.buckets[nmax]
+            b = feats.shape[0]
+            perm = jnp.asarray(rng.permutation(b))
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
+            params, opt_state, loss = self._train_bucket(
+                params, opt_state, feats, mask, labels, perm, lr, keys)
+            total += float(loss)
+        return params, opt_state, total / max(store.num_bags, 1)
+
+    def predict(self, params, bags, *, average: bool = False,
+                rng: Optional[np.random.Generator] = None,
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched inference over bags (order preserved).
+
+        Returns (scores [num_bags, C], losses [num_bags]). With ``average``,
+        scores are ``sigmoid(bag) + sigmoid(max_instance)`` exactly as the
+        reference's ``--average`` path (train_tcga.py:106-108)."""
+        from tpumil.data.device_store import DeviceBagStore
+
+        rng = rng or np.random.default_rng(0)
+        if isinstance(bags, DeviceBagStore):
+            return self._predict_store(params, bags, average=average, rng=rng)
+        scores_out = np.zeros((len(bags), self.cfg.num_classes), np.float32)
+        losses_out = np.zeros((len(bags),), np.float32)
+        order = list(range(len(bags)))
+        for idxs, nmax in bucketed_chunks(bags, order, self.eval_batch, self.min_bucket):
+            feats, mask, labels = pad_bags([bags[i] for i in idxs], nmax)
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
+            losses, scores, avg_scores = self._eval_chunk(
+                params, jnp.asarray(feats), jnp.asarray(mask),
+                jnp.asarray(labels), keys)
+            chosen = avg_scores if average else scores
+            for j, i in enumerate(idxs):
+                scores_out[i] = np.asarray(chosen[j])
+                losses_out[i] = float(losses[j])
+        return scores_out, losses_out
+
+    def _predict_store(self, params, store, *, average: bool,
+                       rng: np.random.Generator):
+        scores_out = np.zeros((store.num_bags, self.cfg.num_classes), np.float32)
+        losses_out = np.zeros((store.num_bags,), np.float32)
+        for nmax in store.bucket_sizes:
+            feats, mask, labels = store.buckets[nmax]
+            b = feats.shape[0]
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
+            losses, scores, avg_scores = self._eval_chunk(
+                params, feats, mask, labels, keys)
+            chosen = np.asarray(avg_scores if average else scores)
+            idx = store.index[nmax]
+            scores_out[idx] = chosen
+            losses_out[idx] = np.asarray(losses)
+        return scores_out, losses_out

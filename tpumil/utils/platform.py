@@ -1,0 +1,36 @@
+"""JAX platform selection for CLI entry points.
+
+The hosting environment may pre-select a TPU platform via JAX_PLATFORMS and a
+site customization that overrides the env var; ``select_platform`` makes the
+user's ``--device`` choice stick regardless.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def select_platform(device: str = "auto") -> None:
+    """device: 'auto' (leave as-is), 'cpu', or 'tpu'. Must be called before
+    any JAX computation runs."""
+    if device == "auto":
+        return
+    import jax
+
+    if device == "tpu":
+        # honour an externally configured TPU platform name (e.g. 'axon')
+        plat = os.environ.get("JAX_PLATFORMS") or "tpu"
+        if plat == "cpu":
+            plat = "tpu"
+        jax.config.update("jax_platforms", plat)
+    else:
+        os.environ["JAX_PLATFORMS"] = device
+        jax.config.update("jax_platforms", device)
+
+
+def default_matmul_precision(precision: str = "highest") -> None:
+    """f32 matmuls on TPU default to bf16 inputs; training parity tests want
+    'highest'. Production feature extraction uses explicit bf16 instead."""
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", precision)
