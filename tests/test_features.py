@@ -1,0 +1,160 @@
+"""Feature-extraction pipeline tests: patch IO, SimCLR surgery end-to-end
+parity vs the torch oracle, CSV contract, tree fusion."""
+
+import collections
+import glob
+import os
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpumil.data.patches import (
+    PatchBatchLoader,
+    decode_patch,
+    list_bag_dirs,
+    list_patches,
+    parse_position,
+)
+from tpumil.infer.features import FeatureExtractor, compute_feats, compute_tree_feats
+from tpumil.models import embedder
+from tpumil.models.embedder import EmbedderConfig
+
+torch = pytest.importorskip("torch")
+from torch_resnet_oracle import TorchResNet  # noqa: E402
+
+
+def _write_patch(path, rng, size=32):
+    from PIL import Image
+
+    arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    Image.fromarray(arr).save(path)
+    return arr
+
+
+def _make_wsi_tree(tmp_path, rng, n_bags=2, n_patches=5, size=32, layout="single"):
+    root = str(tmp_path / "WSI")
+    for b in range(n_bags):
+        for p in range(n_patches):
+            _write_patch(os.path.join(root, "ds", layout, f"class{b}", f"bag{b}",
+                                      f"{p}_{p + 1}.jpeg"), rng, size)
+    return root
+
+
+def test_patch_io(tmp_path, rng):
+    root = _make_wsi_tree(tmp_path, rng)
+    dirs = list_bag_dirs(root, "ds", "single")
+    assert len(dirs) == 2
+    paths = list_patches(dirs[0])
+    assert len(paths) == 5
+    assert parse_position(paths[0]) == (0, 1)
+    arr = decode_patch(paths[0])
+    assert arr.shape == (32, 32, 3) and arr.dtype == np.float32
+    assert 0.0 <= arr.min() and arr.max() <= 1.0
+
+
+def test_batch_loader_padding(tmp_path, rng):
+    root = _make_wsi_tree(tmp_path, rng, n_bags=1, n_patches=7)
+    paths = list_patches(list_bag_dirs(root, "ds", "single")[0])
+    batches = list(PatchBatchLoader(paths, batch_size=4, num_workers=2))
+    assert [n for _, n, _ in batches] == [4, 3]
+    assert batches[0][0].shape == (4, 32, 32, 3)
+    # padded tail rows are zero
+    assert np.all(batches[1][0][3:] == 0)
+
+
+def _simclr_style_checkpoint(depth=18):
+    """Build a SimCLR-layout state_dict (backbone convs in order + l1/l2
+    projection entries) from the torch oracle."""
+    net = TorchResNet(depth, torch.nn.InstanceNorm2d).eval()
+    sd = collections.OrderedDict(
+        (k, v) for k, v in net.state_dict().items() if not k.startswith("fc"))
+    sd["l1.weight"] = torch.zeros(512, 512)
+    sd["l1.bias"] = torch.zeros(512)
+    sd["l2.weight"] = torch.zeros(256, 512)
+    sd["l2.bias"] = torch.zeros(256)
+    return net, sd
+
+
+def test_simclr_surgery_parity(tmp_path, rng):
+    """Load a SimCLR checkpoint through the popitem/positional surgery and
+    verify embedder features match the torch oracle."""
+    net, sd = _simclr_style_checkpoint()
+    ckpt = str(tmp_path / "model.pth")
+    torch.save(sd, ckpt)
+    cfg = EmbedderConfig(num_classes=2, compute_dtype=jnp.float32)
+    params = embedder.load_simclr_checkpoint(ckpt, cfg)
+    x = rng.random((3, 64, 64, 3)).astype(np.float32)
+    feats, logits = embedder.forward(params, jnp.asarray(x), cfg)
+    with torch.no_grad():
+        want = net(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())).numpy()
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=8e-3, atol=8e-4)
+    assert np.all(np.asarray(logits) == 0.0)  # zeroed head
+
+
+def test_embedder_export_roundtrip(tmp_path):
+    """export_embedder_state_dict -> load back positionally == identity."""
+    from tpumil.io import torch_ckpt
+
+    cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    params = embedder.init_params(jax.random.PRNGKey(1), cfg)
+    path = str(tmp_path / "embedder.pth")
+    torch_ckpt.save_state_dict(embedder.export_embedder_state_dict(params, cfg), path)
+    # re-exported embedder.pth has no projection head to strip
+    params2 = embedder.load_simclr_checkpoint(path, cfg, strip_head=False)
+    for k in params["backbone"]:
+        np.testing.assert_allclose(np.asarray(params["backbone"][k]),
+                                   np.asarray(params2["backbone"][k]), atol=1e-6)
+
+
+def test_compute_feats_csv_contract(tmp_path, rng):
+    root = _make_wsi_tree(tmp_path, rng, n_bags=2, n_patches=6)
+    cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    params = embedder.init_params(jax.random.PRNGKey(0), cfg)
+    ex = FeatureExtractor(params, cfg, batch_size=4, patch_size=32, num_workers=2)
+    out = str(tmp_path / "datasets" / "ds")
+    dirs = list_bag_dirs(root, "ds", "single")
+    compute_feats(dirs, ex, out)
+    csvs = sorted(glob.glob(os.path.join(out, "*", "*.csv")))
+    assert len(csvs) == 2
+    import pandas as pd
+
+    df = pd.read_csv(csvs[0])
+    assert df.shape == (6, cfg.num_feats)
+    # '%.4f' parity: at most 4 decimal places survive a text round-trip
+    with open(csvs[0]) as f:
+        f.readline()
+        first_val = f.readline().split(",")[0]
+    assert len(first_val.split(".")[-1].rstrip("\n")) <= 4
+    assert ex.stats.patches == 12 and ex.stats.patches_per_sec > 0
+
+
+def test_tree_feats_fusion(tmp_path, rng):
+    # pyramid layout: low patches + per-low-folder high patches
+    root = str(tmp_path / "WSI")
+    for li in range(2):
+        _write_patch(os.path.join(root, "ds", "pyramid", "c0", "bag0",
+                                  f"{li}_0.jpeg"), rng)
+        for hi in range(3):
+            _write_patch(os.path.join(root, "ds", "pyramid", "c0", "bag0",
+                                      f"{li}_0", f"{2 * li + hi}_{hi}.jpeg"), rng)
+    cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    params = embedder.init_params(jax.random.PRNGKey(0), cfg)
+    ex = FeatureExtractor(params, cfg, batch_size=4, patch_size=32, num_workers=2)
+    dirs = list_bag_dirs(root, "ds", "tree")
+    out_cat = str(tmp_path / "out_cat")
+    compute_tree_feats(dirs, ex, ex, out_cat, fusion="cat")
+    import pandas as pd
+
+    df = pd.read_csv(glob.glob(os.path.join(out_cat, "*", "*.csv"))[0])
+    assert df.shape == (6, 2 * cfg.num_feats)  # 1024-d cat features
+
+    out_fus = str(tmp_path / "out_fus")
+    compute_tree_feats(dirs, ex, ex, out_fus, fusion="fusion")
+    df2 = pd.read_csv(glob.glob(os.path.join(out_fus, "*", "*.csv"))[0])
+    assert df2.shape == (6, cfg.num_feats)
+
+    with pytest.raises(NotImplementedError):
+        compute_tree_feats(dirs, ex, ex, str(tmp_path / "x"), fusion="bogus")

@@ -1,0 +1,118 @@
+"""Compute per-bag features from a (SimCLR-pretrained) embedder — CLI mirror
+of the reference compute_feats.py:128-263."""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Compute features from a SimCLR embedder (TPU-native)")
+    parser.add_argument("--num_classes", default=2, type=int)
+    parser.add_argument("--batch_size", default=128, type=int)
+    parser.add_argument("--num_workers", default=8, type=int,
+                        help="Host JPEG-decode threads")
+    parser.add_argument("--backbone", default="resnet18", type=str,
+                        help="resnet18|resnet34|resnet50|resnet101")
+    parser.add_argument("--norm_layer", default="instance", type=str,
+                        help="instance|batch")
+    parser.add_argument("--magnification", default="single", type=str,
+                        help="single|low|high|tree")
+    parser.add_argument("--weights", default=None, type=str,
+                        help="SimCLR run folder under simclr/runs/, an "
+                             "explicit .pth path, or 'ImageNet'")
+    parser.add_argument("--weights_high", default=None, type=str)
+    parser.add_argument("--weights_low", default=None, type=str)
+    parser.add_argument("--tree_fusion", default="cat", type=str, help="cat|fusion")
+    parser.add_argument("--dataset", default="TCGA-lung-single", type=str)
+    parser.add_argument("--wsi_root", default="WSI", type=str)
+    parser.add_argument("--out_root", default="datasets", type=str)
+    parser.add_argument("--patch_size", default=224, type=int)
+    parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"],
+                        help="bf16: +45%% throughput; f32: exact torch parity")
+    parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
+    args = parser.parse_args(argv)
+
+    from tpumil.utils.platform import select_platform
+
+    select_platform(args.device)
+
+    import jax
+
+    from tpumil.data.feature_store import build_dataset_csvs
+    from tpumil.data.patches import list_bag_dirs
+    from tpumil.io import torch_ckpt
+    from tpumil.models import embedder
+    from tpumil.models.embedder import EmbedderConfig
+    from tpumil.infer.features import FeatureExtractor, compute_feats, compute_tree_feats
+
+    import jax.numpy as jnp
+
+    cfg = EmbedderConfig(backbone=args.backbone, norm=args.norm_layer,
+                         num_classes=args.num_classes,
+                         compute_dtype=jnp.bfloat16 if args.precision == "bf16"
+                         else jnp.float32)
+
+    def resolve_weights(spec):
+        if spec is None:
+            cands = sorted(glob.glob("simclr/runs/*/checkpoints/*.pth"))
+            if not cands:
+                parser.error("no SimCLR checkpoints under simclr/runs/")
+            return cands[-1]
+        if os.path.exists(spec):
+            return spec
+        return os.path.join("simclr", "runs", spec, "checkpoints", "model.pth")
+
+    def load(spec, export_name):
+        if spec == "ImageNet" or args.weights == "ImageNet":
+            if args.norm_layer != "batch":
+                raise ValueError("Please use batch normalization for ImageNet feature")
+            # ImageNet weights must be provided as a local .pth (zero-egress
+            # environments cannot download); fall back to random init.
+            print("ImageNet weights requested; supply a local .pth via --weights "
+                  "<path> for real features. Using random init.")
+            return embedder.init_params(jax.random.PRNGKey(0), cfg)
+        path = resolve_weights(spec)
+        params = embedder.load_simclr_checkpoint(path, cfg)
+        os.makedirs(os.path.join("embedder", args.dataset), exist_ok=True)
+        torch_ckpt.save_state_dict(
+            embedder.export_embedder_state_dict(params, cfg),
+            os.path.join("embedder", args.dataset, export_name))
+        print("Use pretrained features.")
+        return params
+
+    bag_dirs = list_bag_dirs(args.wsi_root, args.dataset, args.magnification)
+    feats_path = os.path.join(args.out_root, args.dataset)
+    os.makedirs(feats_path, exist_ok=True)
+    log = lambda s: (sys.stdout.write(s), sys.stdout.flush())
+
+    if args.magnification == "tree":
+        if args.weights_high is None or args.weights_low is None:
+            parser.error("--magnification tree requires --weights_high and --weights_low")
+        params_h = load(args.weights_high, "embedder-high.pth")
+        params_l = load(args.weights_low, "embedder-low.pth")
+        ex_h = FeatureExtractor(params_h, cfg, args.batch_size, args.patch_size,
+                                args.num_workers)
+        ex_l = FeatureExtractor(params_l, cfg, args.batch_size, args.patch_size,
+                                args.num_workers)
+        compute_tree_feats(bag_dirs, ex_l, ex_h, feats_path, args.tree_fusion, log)
+        stats = ex_h.stats
+    else:
+        params = load(args.weights, "embedder.pth")
+        ex = FeatureExtractor(params, cfg, args.batch_size, args.patch_size,
+                              args.num_workers)
+        compute_feats(bag_dirs, ex, feats_path, args.magnification, log)
+        stats = ex.stats
+
+    build_dataset_csvs(feats_path, args.dataset)
+    print(f"Throughput: {stats.patches_per_sec:.1f} patches/sec "
+          f"({stats.patches} patches)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

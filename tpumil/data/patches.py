@@ -1,0 +1,130 @@
+"""Patch-folder datasets and a prefetching host loader.
+
+Filesystem contract (README.md:264-285, deepzoom_tiler.py:102-112):
+  WSI/<dataset>/single/<class>/<bag>/<col>_<row>.jpeg
+  WSI/<dataset>/pyramid/<class>/<bag>/{<col>_<row>.jpeg, <col>_<row>/<...>.jpeg}
+
+The loader decodes JPEGs on a host thread pool into fixed-shape NHWC float32
+batches in [0, 1] (torchvision ``to_tensor`` semantics, compute_feats.py:38),
+padding the final batch — static shapes keep one compiled embedder program.
+The decode pool runs ahead of the accelerator (bounded prefetch) so host
+decode overlaps device compute.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def list_bag_dirs(root: str, dataset: str, magnification: str) -> List[str]:
+    """Bag directories under the WSI tree (compute_feats.py:236-243)."""
+    layout = "pyramid" if magnification in ("tree", "low", "high") else "single"
+    return sorted(glob.glob(os.path.join(root, dataset, layout, "*", "*")))
+
+
+def list_patches(bag_dir: str, magnification: str = "single",
+                 exts: Sequence[str] = ("jpg", "jpeg")) -> List[str]:
+    """Patch files of one bag (compute_feats.py:64-68): top-level files for
+    single/low, one-level-down files for high."""
+    pats = []
+    for ext in exts:
+        if magnification == "high":
+            pats.append(os.path.join(bag_dir, "*", f"*.{ext}"))
+        else:
+            pats.append(os.path.join(bag_dir, f"*.{ext}"))
+    out: List[str] = []
+    for p in pats:
+        out.extend(glob.glob(p))
+    return sorted(out)
+
+
+def parse_position(path: str) -> Tuple[int, int]:
+    """``<a>_<b>.<ext>`` -> (a, b), the grid position encoded by the tiler
+    (deepzoom_tiler.py:108-109; consumed at attention_map.py:28)."""
+    stem = os.path.basename(path).split(".")[0]
+    a, b = stem.split("_")[:2]
+    return int(a), int(b)
+
+
+def decode_patch(path: str, patch_size: Optional[int] = None) -> np.ndarray:
+    """JPEG/PNG -> float32 HWC in [0, 1] (to_tensor semantics), optionally
+    resized (PIL bilinear) to patch_size."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB")
+        if patch_size is not None and im.size != (patch_size, patch_size):
+            im = im.resize((patch_size, patch_size))
+        arr = np.asarray(im, dtype=np.float32) / 255.0
+    return arr
+
+
+class PatchBatchLoader:
+    """Decode a list of patch files into fixed-shape batches with bounded
+    prefetch.
+
+    Yields (batch [B, S, S, 3], n_valid, paths) — the last batch is padded to
+    B with zeros; ``n_valid`` marks the real rows.
+    """
+
+    def __init__(self, paths: Sequence[str], batch_size: int = 128,
+                 patch_size: Optional[int] = None, num_workers: int = 8,
+                 prefetch: int = 4):
+        self.paths = list(paths)
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return (len(self.paths) + self.batch_size - 1) // self.batch_size
+
+    def _decode_batch(self, chunk: List[str], pool) -> np.ndarray:
+        first = decode_patch(chunk[0], self.patch_size)
+        batch = np.zeros((self.batch_size,) + first.shape, np.float32)
+        batch[0] = first
+        for i, arr in enumerate(pool.map(
+                lambda p: decode_patch(p, self.patch_size), chunk[1:])):
+            batch[i + 1] = arr
+        return batch
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, int, List[str]]]:
+        if not self.paths:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunks = [self.paths[i:i + self.batch_size]
+                  for i in range(0, len(self.paths), self.batch_size)]
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for chunk in chunks:
+                    if stop.is_set():
+                        break
+                    try:
+                        q.put((self._decode_batch(chunk, pool), len(chunk), chunk))
+                    except Exception as e:  # surface decode errors to consumer
+                        q.put(e)
+                        break
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()

@@ -1,0 +1,107 @@
+"""Patch embedder: ResNet backbone + per-instance linear head.
+
+The reference's ``IClassifier(resnet, feats_size, num_classes)``
+(dsmil.py:14-25) wraps the frozen CNN and a Linear head, returning
+``(feats, instance_logits)``. For feature extraction the head is unused
+(compute_feats.py writes features only); for end-to-end inference the head's
+weights come from the aggregator checkpoint (attention_map.py:162-165).
+
+Checkpoint surgery reproduced from compute_feats.py:182-234 /
+attention_map.py:151-160: a SimCLR checkpoint's last four entries (projection
+MLP) are dropped and the remaining conv tensors are assigned positionally
+onto the backbone's parameter order.
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpumil.models import resnet
+from tpumil.models.resnet import ResNetConfig
+
+BACKBONE_DEPTH = {"resnet18": 18, "resnet34": 34, "resnet50": 50, "resnet101": 101}
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbedderConfig:
+    backbone: str = "resnet18"      # compute_feats.py:134
+    norm: str = "instance"          # compute_feats.py:135
+    num_classes: int = 2
+    compute_dtype: object = jnp.bfloat16  # bf16 inference on the MXU
+
+    @property
+    def resnet_cfg(self) -> ResNetConfig:
+        return ResNetConfig(depth=BACKBONE_DEPTH[self.backbone], norm=self.norm,
+                            compute_dtype=self.compute_dtype)
+
+    @property
+    def num_feats(self) -> int:
+        return self.resnet_cfg.num_feats
+
+
+def init_params(key, cfg: EmbedderConfig) -> Dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "backbone": resnet.init_params(k1, cfg.resnet_cfg),
+        "fc": {"w": jnp.zeros((cfg.num_classes, cfg.num_feats)),
+               "b": jnp.zeros((cfg.num_classes,))},
+    }
+
+
+def forward(params: Dict, x, cfg: EmbedderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """x: [N, H, W, 3] in [0, 1]. Returns (feats [N, K] f32, logits [N, C])."""
+    feats = resnet.forward(params["backbone"], x, cfg.resnet_cfg)
+    logits = feats @ params["fc"]["w"].T + params["fc"]["b"]
+    return feats, logits
+
+
+def load_simclr_checkpoint(path: str, cfg: EmbedderConfig,
+                           strip_head: bool = True) -> Dict:
+    """Load a SimCLR ``model.pth`` (or a re-exported ``embedder*.pth``) into
+    embedder params via the positional surgery. The linear head is zeroed
+    (it is untrained in the reference too — load_state_dict strict=False
+    leaves it at random init, compute_feats.py:191)."""
+    from tpumil.io import torch_ckpt
+
+    sd = torch_ckpt.load_state_dict(path)
+    if strip_head:
+        sd = torch_ckpt.strip_projection_head(sd)
+    values = list(sd.values())
+    rcfg = cfg.resnet_cfg
+    n_params = len(resnet.param_names(rcfg))
+    backbone = resnet.load_positional(values[:n_params], rcfg)
+    return {
+        "backbone": backbone,
+        "fc": {"w": jnp.zeros((cfg.num_classes, cfg.num_feats)),
+               "b": jnp.zeros((cfg.num_classes,))},
+    }
+
+
+def set_head(params: Dict, w: np.ndarray, b: np.ndarray) -> Dict:
+    """Install the instance-head weights from an aggregator checkpoint
+    (attention_map.py:162-165, testing_tcga.py:139-141)."""
+    out = dict(params)
+    out["fc"] = {"w": jnp.asarray(np.asarray(w, np.float32)),
+                 "b": jnp.asarray(np.asarray(b, np.float32))}
+    return out
+
+
+def export_embedder_state_dict(params: Dict, cfg: EmbedderConfig) -> "collections.OrderedDict":
+    """Re-export in the reference's embedder.pth layout: the surgered
+    IClassifier keys ``feature_extractor.<torchvision name>`` in order
+    (compute_feats.py:190-193)."""
+    sd = collections.OrderedDict()
+    rcfg = cfg.resnet_cfg
+    conv_names = {name for name, _, _ in resnet.conv_specs(rcfg)}
+    for name in resnet.param_names(rcfg):
+        v = np.asarray(params["backbone"][name], np.float32)
+        if name in conv_names:
+            v = np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
+        sd[f"feature_extractor.{name}"] = v
+    return sd

