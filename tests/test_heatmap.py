@@ -1,0 +1,134 @@
+"""Heatmap rendering + end-to-end inference tests (SURVEY.md section 4):
+image ops semantics, grid render math, full patch->PNG pipeline."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+import jax
+
+from tpumil.ops.image import (
+    img_as_ubyte,
+    mean_saturation_ubyte,
+    rescale_intensity,
+    upscale_nearest,
+)
+from tpumil.infer.heatmap import (
+    BagInference,
+    render_color_map,
+    run_attention_maps,
+)
+from tpumil.models import dsmil, embedder
+from tpumil.models.dsmil import DSMILConfig
+from tpumil.models.embedder import EmbedderConfig
+
+import jax.numpy as jnp
+
+
+def test_rescale_intensity():
+    x = np.asarray([1.0, 2.0, 3.0])
+    np.testing.assert_allclose(rescale_intensity(x), [0.0, 0.5, 1.0])
+    np.testing.assert_allclose(rescale_intensity(np.full(3, 7.0)), [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(rescale_intensity(x, (0, 255)), [0.0, 127.5, 255.0])
+
+
+def test_upscale_nearest():
+    x = np.asarray([[1.0, 2.0], [3.0, 4.0]])[..., None]
+    up = upscale_nearest(x, 2)
+    assert up.shape == (4, 4, 1)
+    np.testing.assert_array_equal(up[:2, :2, 0], [[1, 1], [1, 1]])
+
+
+def test_img_as_ubyte():
+    np.testing.assert_array_equal(img_as_ubyte(np.asarray([0.0, 0.5, 1.0, 1.5])),
+                                  [0, 128, 255, 255])
+
+
+def test_saturation():
+    # pure red is fully saturated; gray has zero saturation
+    red = np.zeros((2, 2, 3)); red[..., 0] = 1.0
+    gray = np.full((2, 2, 3), 0.5)
+    assert mean_saturation_ubyte(red) == 255.0
+    assert mean_saturation_ubyte(gray) == 0.0
+
+
+def test_render_color_map_math(rng):
+    n, c = 6, 2
+    attn = rng.random((n, c))
+    positions = np.asarray([[i // 3, i % 3] for i in range(n)])
+    colors = [np.asarray([255, 0, 0]), np.asarray([0, 255, 0])]
+    out = render_color_map(attn, positions, [0, 1], colors, upscale=4)
+    assert out.shape == (2 * 4, 3 * 4, 3)
+    # oracle: sum of per-class colored attention / num classes, rescaled
+    colored = (attn[:, 0:1] * colors[0][None] + attn[:, 1:2] * colors[1][None]) / 2
+    want = rescale_intensity(colored, (0, 1))
+    np.testing.assert_allclose(out[0, 0], want[0], atol=1e-12)   # pos (0,0)
+    np.testing.assert_allclose(out[4, 8], want[5], atol=1e-12)   # pos (1,2)
+    # benign: all-zero, no NaN (reference's 0/0 quirk fixed deliberately)
+    benign = render_color_map(attn, positions, [], colors, upscale=4)
+    assert np.all(benign == 0.0) and not np.any(np.isnan(benign))
+
+
+def _make_patch_bags(tmp_path, rng, n_bags=2, rows=2, cols=3, size=32):
+    from PIL import Image
+
+    root = str(tmp_path / "patches")
+    for b in range(n_bags):
+        d = os.path.join(root, f"slide{b}")
+        os.makedirs(d, exist_ok=True)
+        for r in range(rows):
+            for c in range(cols):
+                arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(d, f"{r}_{c}.jpg"))
+    return root
+
+
+def test_end_to_end_heatmaps(tmp_path, rng):
+    root = _make_patch_bags(tmp_path, rng)
+    emb_cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    emb_params = embedder.init_params(jax.random.PRNGKey(0), emb_cfg)
+    agg_params = dsmil.init_params(jax.random.PRNGKey(1),
+                                   DSMILConfig(feats_size=512, num_classes=1))
+    infer = BagInference(emb_params, emb_cfg, agg_params, batch_size=4,
+                         patch_size=32, num_workers=2)
+    map_path = str(tmp_path / "maps")
+    score_path = str(tmp_path / "scores")
+    results = run_attention_maps(
+        infer, sorted(glob.glob(os.path.join(root, "*"))),
+        thresholds=[0.0],  # force detection so maps are non-trivial
+        class_names=["tumor"], map_path=map_path, score_path=score_path,
+        seed=0, log=lambda s: None)
+    assert len(results) == 2
+    pngs = sorted(glob.glob(os.path.join(map_path, "*.png")))
+    assert len(pngs) == 2
+    from PIL import Image
+
+    im = np.asarray(Image.open(pngs[0]))
+    assert im.shape == (2 * 32, 3 * 32, 3)  # grid x32 upscale
+    assert im.max() > 0  # detected -> non-black map
+    # score CSV contract: C columns + 'pos'
+    import pandas as pd
+
+    df = pd.read_csv(sorted(glob.glob(os.path.join(score_path, "*.csv")))[0])
+    assert list(df.columns) == ["0", "pos"]
+    assert len(df) == 6
+    # attention sums to 1 over instances (softmax over N)
+    np.testing.assert_allclose(results[0].attention.sum(axis=0), [1.0], atol=1e-4)
+
+
+def test_benign_map_is_black(tmp_path, rng):
+    root = _make_patch_bags(tmp_path, rng, n_bags=1)
+    emb_cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    emb_params = embedder.init_params(jax.random.PRNGKey(0), emb_cfg)
+    agg_params = dsmil.init_params(jax.random.PRNGKey(1),
+                                   DSMILConfig(feats_size=512, num_classes=1))
+    infer = BagInference(emb_params, emb_cfg, agg_params, batch_size=4,
+                         patch_size=32, num_workers=2)
+    results = run_attention_maps(
+        infer, sorted(glob.glob(os.path.join(root, "*"))),
+        thresholds=[1.1],  # impossible -> benign
+        class_names=["tumor"], map_path=str(tmp_path / "maps"),
+        seed=0, log=lambda s: None)
+    assert results[0].detected == []
+    assert np.all(results[0].color_map == 0.0)
