@@ -1,0 +1,112 @@
+"""Native tile service tests: decode parity with PIL, TIFF region reads vs
+the PIL backend, edge-energy parity, and the loader fast path."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from tpumil.utils import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native tile service not built")
+
+
+def _write_jpegs(tmp_path, rng, n=8, size=64):
+    from PIL import Image
+
+    paths = []
+    for i in range(n):
+        arr = (rng.random((size, size, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"p{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+    return paths
+
+
+def test_decode_batch_matches_pil(tmp_path, rng):
+    from PIL import Image
+
+    paths = _write_jpegs(tmp_path, rng)
+    out, err = native.decode_batch(paths, 64, num_threads=4)
+    assert np.all(err == 0)
+    for i, p in enumerate(paths):
+        with Image.open(p) as im:
+            want = np.asarray(im.convert("RGB"), np.float32) / 255.0
+        np.testing.assert_allclose(out[i], want, atol=1e-6)
+
+
+def test_decode_batch_resize_and_errors(tmp_path, rng):
+    paths = _write_jpegs(tmp_path, rng, n=2, size=48)
+    out, err = native.decode_batch(paths, 32, num_threads=2)
+    assert out.shape == (2, 32, 32, 3) and np.all(err == 0)
+    # missing file -> nonzero error code, zero image, no crash
+    out2, err2 = native.decode_batch([paths[0], str(tmp_path / "nope.jpg")], 48)
+    assert err2[0] == 0 and err2[1] != 0
+    assert np.all(out2[1] == 0)
+
+
+def test_encode_roundtrip(tmp_path, rng):
+    # smooth gradient (JPEG-friendly; noise would be worst-case)
+    y, x = np.mgrid[0:40, 0:56]
+    img = np.stack([x * 4, y * 6, (x + y) * 2], axis=-1).astype(np.uint8)
+    p = str(tmp_path / "enc.jpg")
+    native.encode_jpeg(img, p, quality=95)
+    from PIL import Image
+
+    with Image.open(p) as im:
+        back = np.asarray(im.convert("RGB"))
+    assert back.shape == img.shape
+    assert np.mean(np.abs(back.astype(int) - img.astype(int))) < 5  # lossy
+
+
+def test_edge_energy_matches_pil(rng):
+    from tpumil.data.tiler import edge_energy
+
+    imgs = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    imgs[0] = 255  # white
+    got = native.edge_energy_batch(imgs, num_threads=2)
+    for i in range(3):
+        want = edge_energy(imgs[i], 64)
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=0.5)
+
+
+def test_native_tiff_matches_pil_backend(tmp_path, rng):
+    from PIL import Image
+
+    from tpumil.data.slide import TiffBackend
+
+    img = (rng.random((256, 320, 3)) * 255).astype(np.uint8)
+    pages = [Image.fromarray(img)]
+    pages.append(pages[0].resize((160, 128)))
+    path = str(tmp_path / "pyr.tif")
+    pages[0].save(path, save_all=True, append_images=pages[1:])
+
+    nat = native.NativeTiff(path)
+    pil = TiffBackend(path)
+    assert nat.level_count == pil.level_count == 2
+    assert list(nat.level_dimensions) == list(pil.level_dimensions)
+    got = nat.read_region(0, 10, 20, 64, 48)
+    np.testing.assert_array_equal(got, img[20:68, 10:74])
+    # out-of-bounds read zero-fills
+    got2 = nat.read_region(0, 300, 240, 64, 64)
+    assert got2.shape == (64, 64, 3)
+    nat.close()
+
+
+def test_loader_native_path(tmp_path, rng):
+    from tpumil.data.patches import PatchBatchLoader
+
+    paths = _write_jpegs(tmp_path, rng, n=10, size=32)
+    loader = PatchBatchLoader(paths, batch_size=4, patch_size=32,
+                              num_workers=2, use_native=True)
+    assert loader.use_native
+    batches = list(loader)
+    assert [n for _, n, _ in batches] == [4, 4, 2]
+    # parity with the PIL path
+    loader_pil = PatchBatchLoader(paths, batch_size=4, patch_size=32,
+                                  num_workers=2, use_native=False)
+    for (a, na, _), (b, nb, _) in zip(batches, loader_pil):
+        assert na == nb
+        np.testing.assert_allclose(a[:na], b[:nb], atol=1e-6)

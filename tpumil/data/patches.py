@@ -75,12 +75,21 @@ class PatchBatchLoader:
 
     def __init__(self, paths: Sequence[str], batch_size: int = 128,
                  patch_size: Optional[int] = None, num_workers: int = 8,
-                 prefetch: int = 4):
+                 prefetch: int = 4, use_native: Optional[bool] = None):
         self.paths = list(paths)
         self.batch_size = batch_size
         self.patch_size = patch_size
-        self.num_workers = max(1, num_workers)
+        # more threads than cores only adds contention (decode is CPU-bound)
+        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
         self.prefetch = prefetch
+        if use_native is None:
+            # native decode needs a fixed output size and JPEG inputs
+            from tpumil.utils import native
+
+            use_native = (native.available() and patch_size is not None
+                          and all(p.lower().endswith((".jpg", ".jpeg"))
+                                  for p in self.paths[:16]))
+        self.use_native = bool(use_native)
 
     def __len__(self) -> int:
         return (len(self.paths) + self.batch_size - 1) // self.batch_size
@@ -104,7 +113,31 @@ class PatchBatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def producer_native():
+            from tpumil.utils import native
+
+            for chunk in chunks:
+                if stop.is_set():
+                    break
+                try:
+                    arr, err = native.decode_batch(chunk, self.patch_size,
+                                                   self.num_workers)
+                    if np.any(err != 0):
+                        bad = [p for p, e in zip(chunk, err) if e != 0]
+                        raise IOError(f"native decode failed for {bad[:3]}")
+                    if arr.shape[0] < self.batch_size:
+                        pad = np.zeros((self.batch_size - arr.shape[0],)
+                                       + arr.shape[1:], arr.dtype)
+                        arr = np.concatenate([arr, pad], axis=0)
+                    q.put((arr, len(chunk), chunk))
+                except Exception as e:
+                    q.put(e)
+                    break
+            q.put(None)
+
         def producer():
+            if self.use_native:
+                return producer_native()
             with ThreadPoolExecutor(self.num_workers) as pool:
                 for chunk in chunks:
                     if stop.is_set():

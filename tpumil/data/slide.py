@@ -1,0 +1,302 @@
+"""Slide readers and DeepZoom tile math.
+
+The reference reads gigapixel WSIs through OpenSlide's DeepZoomGenerator
+(deepzoom_tiler.py:20-22,160). This module provides the same capability
+behind a small reader protocol with three backends:
+
+  * OpenSlideBackend — used when the openslide C library is importable;
+  * TiffBackend — pyramidal (multi-page) TIFFs via PIL, each page a level;
+  * ImageBackend — any plain image as a single-level slide (the reference's
+    ``ImageSlide`` role).
+
+``DeepZoom`` reproduces OpenSlide's deep-zoom level/tile geometry: level 0 is
+1x1; level ``level_count-1`` is full resolution; each level halves, tiles are
+``tile_size`` square with ``overlap`` extra pixels on non-edge sides.
+``magnification_plan`` reproduces the objective-power -> deep-zoom level math
+of deepzoom_tiler.py:163-168.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+class SlideBackend:
+    """Protocol: level_dimensions[0] is full resolution; read_region takes a
+    level-0 coordinate, a level index, and a (w, h) size in level pixels."""
+
+    level_dimensions: List[Tuple[int, int]]
+    properties: Dict[str, str]
+
+    @property
+    def level_count(self) -> int:
+        return len(self.level_dimensions)
+
+    def level_downsample(self, level: int) -> float:
+        w0, h0 = self.level_dimensions[0]
+        w, h = self.level_dimensions[level]
+        return ((w0 / w) + (h0 / h)) / 2.0
+
+    def read_region(self, location: Tuple[int, int], level: int,
+                    size: Tuple[int, int]) -> np.ndarray:
+        raise NotImplementedError
+
+    def best_level_for_downsample(self, downsample: float) -> int:
+        best = 0
+        for lv in range(self.level_count):
+            if self.level_downsample(lv) <= downsample + 1e-6:
+                best = lv
+        return best
+
+    def objective_power(self, fallback: float) -> float:
+        v = self.properties.get("openslide.objective-power")
+        return float(v) if v else float(fallback)
+
+    def close(self):
+        pass
+
+
+class OpenSlideBackend(SlideBackend):
+    def __init__(self, path: str):
+        import openslide
+
+        self._slide = openslide.OpenSlide(path)
+        self.level_dimensions = list(self._slide.level_dimensions)
+        self.properties = dict(self._slide.properties)
+
+    def read_region(self, location, level, size):
+        img = self._slide.read_region(location, level, size)
+        return np.asarray(img.convert("RGB"))
+
+    def close(self):
+        self._slide.close()
+
+
+class TiffBackend(SlideBackend):
+    """Pyramidal TIFF via PIL: pages sorted by area descending become levels.
+    Custom tags: objective power from tag 270 (ImageDescription) if it
+    contains ``AppMag = N`` (Aperio convention)."""
+
+    def __init__(self, path: str):
+        from PIL import Image
+
+        Image.MAX_IMAGE_PIXELS = None
+        self._im = Image.open(path)
+        self._pages: List[int] = []
+        sizes = []
+        i = 0
+        while True:
+            try:
+                self._im.seek(i)
+            except EOFError:
+                break
+            sizes.append((i, self._im.size))
+            i += 1
+        sizes.sort(key=lambda t: t[1][0] * t[1][1], reverse=True)
+        self._pages = [i for i, _ in sizes]
+        self.level_dimensions = [s for _, s in sizes]
+        self.properties = {}
+        self._im.seek(self._pages[0])
+        desc = self._im.tag_v2.get(270, "") if hasattr(self._im, "tag_v2") else ""
+        if isinstance(desc, tuple):
+            desc = desc[0] if desc else ""
+        if "AppMag" in str(desc):
+            try:
+                mag = str(desc).split("AppMag")[1].split("=")[1].split("|")[0].strip()
+                self.properties["openslide.objective-power"] = mag
+            except (IndexError, ValueError):
+                pass
+        # cache decoded pages lazily (fine for the PIL fallback; the native
+        # libtiff service streams tiles without full decode)
+        self._cache: Dict[int, np.ndarray] = {}
+
+    def _page_array(self, level: int) -> np.ndarray:
+        if level not in self._cache:
+            self._im.seek(self._pages[level])
+            self._cache[level] = np.asarray(self._im.convert("RGB"))
+        return self._cache[level]
+
+    def read_region(self, location, level, size):
+        arr = self._page_array(level)
+        ds = self.level_downsample(level)
+        x = int(location[0] / ds)
+        y = int(location[1] / ds)
+        w, h = size
+        out = np.zeros((h, w, 3), np.uint8)
+        ys, xs = max(0, y), max(0, x)
+        ye, xe = min(arr.shape[0], y + h), min(arr.shape[1], x + w)
+        if ye > ys and xe > xs:
+            out[ys - y:ye - y, xs - x:xe - x] = arr[ys:ye, xs:xe]
+        return out
+
+    def close(self):
+        self._im.close()
+
+
+class ImageBackend(SlideBackend):
+    """A plain image as a one-level slide (ImageSlide equivalent,
+    deepzoom_tiler.py:72)."""
+
+    def __init__(self, path_or_array):
+        if isinstance(path_or_array, np.ndarray):
+            self._arr = path_or_array
+        else:
+            from PIL import Image
+
+            Image.MAX_IMAGE_PIXELS = None
+            with Image.open(path_or_array) as im:
+                self._arr = np.asarray(im.convert("RGB"))
+        h, w = self._arr.shape[:2]
+        self.level_dimensions = [(w, h)]
+        self.properties = {}
+
+    def read_region(self, location, level, size):
+        x, y = location
+        w, h = size
+        out = np.zeros((h, w, 3), np.uint8)
+        ys, xs = max(0, y), max(0, x)
+        ye, xe = min(self._arr.shape[0], y + h), min(self._arr.shape[1], x + w)
+        if ye > ys and xe > xs:
+            out[ys - y:ye - y, xs - x:xe - x] = self._arr[ys:ye, xs:xe]
+        return out
+
+
+class NativeTiffBackend(SlideBackend):
+    """libtiff-backed reader (native/tileservice.cc): true tiled reads, no
+    full-page decode — the production path for gigapixel slides when
+    openslide is unavailable."""
+
+    def __init__(self, path: str):
+        from tpumil.utils.native import NativeTiff
+
+        self._tif = NativeTiff(path)
+        self.level_dimensions = list(self._tif.level_dimensions)
+        self.properties = {}
+        if "AppMag" in self._tif.description:
+            try:
+                mag = self._tif.description.split("AppMag")[1].split("=")[1] \
+                    .split("|")[0].strip()
+                self.properties["openslide.objective-power"] = mag
+            except (IndexError, ValueError):
+                pass
+
+    def read_region(self, location, level, size):
+        ds = self.level_downsample(level)
+        return self._tif.read_region(level, int(location[0] / ds),
+                                     int(location[1] / ds), size[0], size[1])
+
+    def close(self):
+        self._tif.close()
+
+
+def open_slide(path: str) -> SlideBackend:
+    """Backend auto-selection: openslide when available, then the native
+    libtiff service, then PIL-TIFF, then plain image."""
+    ext = os.path.splitext(path)[1].lower()
+    try:
+        import openslide  # noqa: F401
+
+        return OpenSlideBackend(path)
+    except ImportError:
+        pass
+    if ext in (".tif", ".tiff", ".svs"):
+        from tpumil.utils import native
+
+        if native.available():
+            try:
+                return NativeTiffBackend(path)
+            except (IOError, OSError):
+                pass  # unsupported compression etc. -> PIL fallback
+        return TiffBackend(path)
+    return ImageBackend(path)
+
+
+# ---------------------------------------------------------------------------
+# DeepZoom geometry
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class DeepZoom:
+    """OpenSlide-compatible deep-zoom pyramid over a SlideBackend."""
+
+    slide: SlideBackend
+    tile_size: int = 224
+    overlap: int = 0
+
+    def __post_init__(self):
+        w, h = self.slide.level_dimensions[0]
+        levels = [(w, h)]
+        while max(w, h) > 1:
+            w = max(1, (w + 1) // 2)
+            h = max(1, (h + 1) // 2)
+            levels.append((w, h))
+        levels.reverse()  # level 0 = 1x1
+        self.level_dimensions_dz = levels
+
+    @property
+    def level_count(self) -> int:
+        return len(self.level_dimensions_dz)
+
+    def level_tiles(self, dz_level: int) -> Tuple[int, int]:
+        w, h = self.level_dimensions_dz[dz_level]
+        return (math.ceil(w / self.tile_size), math.ceil(h / self.tile_size))
+
+    def _tile_bounds(self, dz_level: int, col: int, row: int):
+        """Tile geometry in dz-level pixels: (x, y, w, h) including overlap."""
+        lw, lh = self.level_dimensions_dz[dz_level]
+        x = col * self.tile_size - (self.overlap if col > 0 else 0)
+        y = row * self.tile_size - (self.overlap if row > 0 else 0)
+        cols, rows = self.level_tiles(dz_level)
+        w = self.tile_size + (self.overlap if col > 0 else 0) \
+            + (self.overlap if col < cols - 1 else 0)
+        h = self.tile_size + (self.overlap if row > 0 else 0) \
+            + (self.overlap if row < rows - 1 else 0)
+        w = min(w, lw - x)
+        h = min(h, lh - y)
+        return x, y, w, h
+
+    def get_tile(self, dz_level: int, address: Tuple[int, int]) -> np.ndarray:
+        col, row = address
+        x, y, w, h = self._tile_bounds(dz_level, col, row)
+        dz_downsample = 2 ** (self.level_count - 1 - dz_level)
+        slide_level = self.slide.best_level_for_downsample(dz_downsample)
+        ds = self.slide.level_downsample(slide_level)
+        # region in slide-level pixels
+        scale = dz_downsample / ds
+        sw = max(1, int(round(w * scale)))
+        sh = max(1, int(round(h * scale)))
+        region = self.slide.read_region(
+            (int(x * dz_downsample), int(y * dz_downsample)), slide_level, (sw, sh))
+        if (sw, sh) != (w, h):
+            from PIL import Image
+
+            region = np.asarray(
+                Image.fromarray(region).resize((w, h), Image.LANCZOS))
+        return region
+
+
+def magnification_plan(dz: DeepZoom, mag_levels: Tuple[int, ...], base_mag: float,
+                       objective: float) -> List[Tuple[int, int]]:
+    """Map requested magnification offsets to deep-zoom levels
+    (deepzoom_tiler.py:163-168 + :95-97). Returns [(dz_level, magnification)]
+    in the order tiles should be produced (ascending dz level = low mag
+    first).
+
+    mag_levels: offsets below base_mag, e.g. (0,) = base only, (0, 2) =
+    base and base/4 (two pyramid levels apart).
+    """
+    mag_base = dz.slide.objective_power(objective)
+    first_level = int(math.log2(mag_base / base_mag))
+    offsets = sorted(mag_levels)
+    plan = []
+    for off in offsets:
+        lvl_below_top = off + first_level
+        dz_level = dz.level_count - 1 - lvl_below_top
+        mag = int(mag_base / (2 ** lvl_below_top))
+        plan.append((dz_level, mag))
+    return plan
