@@ -83,9 +83,12 @@ class TiffBackend(SlideBackend):
     contains ``AppMag = N`` (Aperio convention)."""
 
     def __init__(self, path: str):
+        import threading
+
         from PIL import Image
 
         Image.MAX_IMAGE_PIXELS = None
+        self._lock = threading.Lock()
         self._im = Image.open(path)
         self._pages: List[int] = []
         sizes = []
@@ -116,10 +119,11 @@ class TiffBackend(SlideBackend):
         self._cache: Dict[int, np.ndarray] = {}
 
     def _page_array(self, level: int) -> np.ndarray:
-        if level not in self._cache:
-            self._im.seek(self._pages[level])
-            self._cache[level] = np.asarray(self._im.convert("RGB"))
-        return self._cache[level]
+        with self._lock:  # PIL seek/decode is not thread-safe
+            if level not in self._cache:
+                self._im.seek(self._pages[level])
+                self._cache[level] = np.asarray(self._im.convert("RGB"))
+            return self._cache[level]
 
     def read_region(self, location, level, size):
         arr = self._page_array(level)

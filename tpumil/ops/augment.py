@@ -1,0 +1,135 @@
+"""On-device SimCLR augmentations.
+
+The reference augments on the host with torchvision transforms inside
+DataLoader workers (simclr/data_aug/dataset_wrapper.py:48-58): a host-bound
+pipeline that cannot keep a TPU fed. Here the whole two-view pipeline runs
+batched under jit on device; the host only decodes JPEGs once.
+
+Pipeline (parameter distributions matching the reference's config s=1):
+  1. RandomResizedCrop(224): area scale U(0.08, 1), log-ratio U(log 3/4,
+     log 4/3), bilinear resample (jax.image.scale_and_translate).
+  2. RandomHorizontalFlip p=0.5.
+  3. ColorJitter(brightness=0.8, contrast=0.8, saturation=0.8, hue=0.2)
+     applied with p=0.8. (torchvision randomizes the operation order per
+     call; a fixed order b->c->s->h is used here — the distributions match,
+     the composition order is a documented deviation.)
+  4. RandomGrayscale p=0.2.
+  5. GaussianBlur kernel 13 (int(0.06*224)=13), sigma U(0.1, 2), p=0.5
+     (simclr/data_aug/gaussian_blur.py:15-26).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _random_resized_crop(key, img, out_size: int, scale=(0.08, 1.0),
+                         ratio=(3.0 / 4.0, 4.0 / 3.0)):
+    h, w = img.shape[0], img.shape[1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = h * w * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
+    log_ratio = jax.random.uniform(
+        k2, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    aspect = jnp.exp(log_ratio)
+    cw = jnp.clip(jnp.sqrt(area * aspect), 8.0, w)
+    ch = jnp.clip(jnp.sqrt(area / aspect), 8.0, h)
+    x0 = jax.random.uniform(k3) * (w - cw)
+    y0 = jax.random.uniform(k4) * (h - ch)
+    # map the crop onto out_size x out_size: out = scale * in + translate
+    sy = out_size / ch
+    sx = out_size / cw
+    translate = jnp.stack([-y0 * sy, -x0 * sx])
+    return jax.image.scale_and_translate(
+        img, (out_size, out_size, 3), (0, 1), jnp.stack([sy, sx]), translate,
+        method="bilinear")
+
+
+def _rgb_to_gray(img):
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])[..., None]
+
+
+def _adjust_hue(img, factor):
+    """Hue rotation in YIQ space (differentiable, standard approximation of
+    torchvision's HSV hue shift)."""
+    # RGB -> YIQ
+    y = _rgb_to_gray(img)[..., 0]
+    i = 0.596 * img[..., 0] - 0.274 * img[..., 1] - 0.322 * img[..., 2]
+    q = 0.211 * img[..., 0] - 0.523 * img[..., 1] + 0.312 * img[..., 2]
+    angle = factor * 2.0 * jnp.pi
+    cos, sin = jnp.cos(angle), jnp.sin(angle)
+    i2 = cos * i - sin * q
+    q2 = sin * i + cos * q
+    r = y + 0.956 * i2 + 0.621 * q2
+    g = y - 0.272 * i2 - 0.647 * q2
+    b = y - 1.106 * i2 + 1.703 * q2
+    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+
+
+def _color_jitter(key, img, strength: float = 1.0):
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    b = 0.8 * strength
+    c = 0.8 * strength
+    s = 0.8 * strength
+    hmax = 0.2 * strength
+    img = jnp.clip(img * jax.random.uniform(kb, minval=max(0.0, 1 - b), maxval=1 + b),
+                   0.0, 1.0)
+    gray_mean = jnp.mean(_rgb_to_gray(img))
+    img = jnp.clip(gray_mean + (img - gray_mean)
+                   * jax.random.uniform(kc, minval=max(0.0, 1 - c), maxval=1 + c),
+                   0.0, 1.0)
+    gray = _rgb_to_gray(img)
+    img = jnp.clip(gray + (img - gray)
+                   * jax.random.uniform(ks, minval=max(0.0, 1 - s), maxval=1 + s),
+                   0.0, 1.0)
+    img = _adjust_hue(img, jax.random.uniform(kh, minval=-hmax, maxval=hmax))
+    return img
+
+
+def _gaussian_blur(key, img, kernel_size: int = 13):
+    sigma = jax.random.uniform(key, minval=0.1, maxval=2.0)
+    r = kernel_size // 2
+    xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    k1d = jnp.exp(-0.5 * (xs / sigma) ** 2)
+    k1d = k1d / jnp.sum(k1d)
+    # separable blur over H then W (channel-wise)
+    img_t = jnp.moveaxis(img, -1, 0)  # [3, H, W]
+    pad = [(0, 0), (r, r), (0, 0)]
+    blurred = jax.lax.conv_general_dilated(
+        img_t[:, None], k1d[None, None, :, None], (1, 1), [(r, r), (0, 0)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+    blurred = jax.lax.conv_general_dilated(
+        blurred[:, None], k1d[None, None, None, :], (1, 1), [(0, 0), (r, r)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
+    return jnp.moveaxis(blurred, 0, -1)
+
+
+def augment_one(key, img, out_size: int = 224, strength: float = 1.0,
+                blur_kernel: int = 13):
+    """One SimCLR view of one image ([H, W, 3] float in [0, 1])."""
+    keys = jax.random.split(key, 6)
+    img = _random_resized_crop(keys[0], img, out_size)
+    img = jnp.where(jax.random.bernoulli(keys[1]), img[:, ::-1, :], img)
+    img = jnp.where(jax.random.bernoulli(keys[2], 0.8),
+                    _color_jitter(keys[3], img, strength), img)
+    img = jnp.where(jax.random.bernoulli(keys[4], 0.2),
+                    jnp.broadcast_to(_rgb_to_gray(img), img.shape), img)
+    img = jnp.where(jax.random.bernoulli(keys[5], 0.5),
+                    _gaussian_blur(keys[5], img, blur_kernel), img)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def augment_pair_batch(key, images, out_size: int = 224):
+    """Two independent views for a batch: [B, H, W, 3] -> (view1, view2),
+    each [B, out_size, out_size, 3] (SimCLRDataTransform,
+    dataset_wrapper.py:80-87)."""
+    b = images.shape[0]
+    k1, k2 = jax.random.split(key)
+    v1 = jax.vmap(lambda k, im: augment_one(k, im, out_size))(
+        jax.random.split(k1, b), images)
+    v2 = jax.vmap(lambda k, im: augment_one(k, im, out_size))(
+        jax.random.split(k2, b), images)
+    return v1, v2

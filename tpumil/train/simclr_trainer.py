@@ -1,0 +1,190 @@
+"""SimCLR pretraining of the patch embedder.
+
+Re-design of simclr/simclr.py:31-160 for TPU:
+  * both augmented views are generated ON DEVICE (tpumil.ops.augment) from a
+    single host decode — the reference decodes and augments twice per patch
+    on host workers;
+  * one jitted step = augment two views -> backbone+projection (bf16) ->
+    normalize -> NT-Xent -> Adam update;
+  * optional data-parallel mesh: the batch shards over the data axis and the
+    (2N)^2 similarity matrix is produced by XLA with ICI collectives.
+
+Training recipe kept from the reference: Adam(lr=1e-5, wd=1e-5)
+(simclr.py:72 + config.yaml weight_decay '10e-6'), cosine LR with a 10-epoch
+constant warmup (simclr.py:77,129-130), 90/10 split (config.yaml
+valid_size), best-validation checkpointing in the SimCLR ``.pth`` layout so
+compute_feats' surgery consumes the result directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpumil.data.patches import PatchBatchLoader
+from tpumil.models import simclr
+from tpumil.models.simclr import SimCLRConfig
+from tpumil.ops.augment import augment_pair_batch
+from tpumil.ops.nt_xent import nt_xent_loss
+from tpumil.train.optim import adam_torch
+
+
+@dataclasses.dataclass
+class SimCLRTrainConfig:
+    batch_size: int = 512            # config.yaml uses 4096; scale per chip
+    epochs: int = 100                # config.yaml
+    eval_every_n_epochs: int = 1
+    lr: float = 1e-5                 # simclr.py:72
+    weight_decay: float = 1e-5       # config.yaml '10e-6'
+    temperature: float = 0.5         # config.yaml loss.temperature
+    use_cosine_similarity: bool = True
+    valid_size: float = 0.1
+    warmup_epochs: int = 10          # scheduler stepped only after epoch 10
+    input_size: int = 224
+    seed: int = 0
+    log_every_n_steps: int = 25
+    num_workers: int = 8
+
+
+class SimCLRTrainer:
+    def __init__(self, model_cfg: SimCLRConfig, cfg: SimCLRTrainConfig,
+                 mesh=None):
+        self.model_cfg = model_cfg
+        self.cfg = cfg
+        self.optimizer = adam_torch(betas=(0.9, 0.999),
+                                    weight_decay=cfg.weight_decay)
+        self.mesh = mesh
+
+        def loss_fn(params, v1, v2):
+            from tpumil.ops.nt_xent import l2_normalize
+
+            _, z1 = simclr.forward(params, v1, model_cfg)
+            _, z2 = simclr.forward(params, v2, model_cfg)
+            # F.normalize parity (simclr.py:53-54) with a 0-safe gradient
+            z1 = l2_normalize(z1)
+            z2 = l2_normalize(z2)
+            return nt_xent_loss(z1, z2, cfg.temperature, cfg.use_cosine_similarity)
+
+        def train_step(params, opt_state, key, images, lr):
+            v1, v2 = augment_pair_batch(key, images, cfg.input_size)
+            loss, grads = jax.value_and_grad(loss_fn)(params, v1, v2)
+            params, opt_state = self.optimizer.step(params, opt_state, grads, lr)
+            return params, opt_state, loss
+
+        def eval_step(params, key, images):
+            v1, v2 = augment_pair_batch(key, images, cfg.input_size)
+            return loss_fn(params, v1, v2)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            img_s = NamedSharding(mesh, P("data", None, None, None))
+            rep = NamedSharding(mesh, P())
+            self._train_step = jax.jit(
+                train_step,
+                in_shardings=(rep, rep, rep, img_s, None),
+                out_shardings=(rep, rep, None),
+                donate_argnums=(0, 1))
+            self._eval_step = jax.jit(eval_step,
+                                      in_shardings=(rep, rep, img_s))
+        else:
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(eval_step)
+
+    def lr_at(self, epoch: int) -> float:
+        """Constant through the warmup epochs, cosine afterwards
+        (simclr.py:77,129-130: scheduler stepped at end of epochs >= 10)."""
+        c = self.cfg
+        if epoch <= c.warmup_epochs:
+            return c.lr
+        t = epoch - c.warmup_epochs
+        return c.lr * (1 + math.cos(math.pi * t / c.epochs)) / 2
+
+    def init(self, key):
+        params = simclr.init_params(key, self.model_cfg)
+        return params, self.optimizer.init(params)
+
+    def fit(self, patch_paths: Sequence[str], run_dir: str,
+            log: Callable[[str], None] = print,
+            fine_tune_from: Optional[str] = None) -> dict:
+        cfg = self.cfg
+        rng = np.random.default_rng(cfg.seed)
+        paths = list(patch_paths)
+        indices = rng.permutation(len(paths))
+        split = int(np.floor(cfg.valid_size * len(paths)))
+        valid_paths = [paths[i] for i in indices[:split]]
+        train_paths = [paths[i] for i in indices[split:]]
+
+        params, opt_state = self.init(jax.random.PRNGKey(cfg.seed))
+        if fine_tune_from and os.path.exists(fine_tune_from):
+            from tpumil.io import torch_ckpt
+
+            params = simclr.load_state_dict(
+                torch_ckpt.load_state_dict(fine_tune_from), self.model_cfg)
+            opt_state = self.optimizer.init(params)
+            log("Loaded pre-trained model with success.")
+
+        ckpt_dir = os.path.join(run_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        best_valid = float("inf")
+        key = jax.random.PRNGKey(cfg.seed + 1)
+        n_iter = 0
+        history = {"train_loss": [], "valid_loss": []}
+
+        for epoch in range(cfg.epochs):
+            lr = self.lr_at(epoch)
+            order = rng.permutation(len(train_paths))
+            epoch_paths = [train_paths[i] for i in order]
+            # drop_last=True like the reference loader (dataset_wrapper.py:73)
+            n_batches = len(epoch_paths) // cfg.batch_size
+            loader = PatchBatchLoader(epoch_paths[:n_batches * cfg.batch_size],
+                                      cfg.batch_size, cfg.input_size,
+                                      cfg.num_workers)
+            t0 = time.perf_counter()
+            for images, n_valid, _ in loader:
+                key, sub = jax.random.split(key)
+                params, opt_state, loss = self._train_step(
+                    params, opt_state, sub, jnp.asarray(images),
+                    jnp.asarray(lr, jnp.float32))
+                if n_iter % cfg.log_every_n_steps == 0:
+                    log(f"epoch {epoch} iter {n_iter} loss {float(loss):.4f} "
+                        f"lr {lr:.2e}")
+                    history["train_loss"].append(float(loss))
+                n_iter += 1
+            dt = time.perf_counter() - t0
+            if n_batches:
+                log(f"epoch {epoch}: {n_batches * cfg.batch_size / dt:.0f} "
+                    f"patches/sec (2 views each)")
+
+            if epoch % cfg.eval_every_n_epochs == 0 and valid_paths:
+                v_batches = max(1, len(valid_paths) // cfg.batch_size)
+                v_loader = PatchBatchLoader(
+                    valid_paths[:v_batches * cfg.batch_size], cfg.batch_size,
+                    cfg.input_size, cfg.num_workers)
+                losses = []
+                for images, n_valid, _ in v_loader:
+                    key, sub = jax.random.split(key)
+                    losses.append(float(self._eval_step(params, sub,
+                                                        jnp.asarray(images))))
+                valid_loss = float(np.mean(losses)) if losses else float("inf")
+                history["valid_loss"].append(valid_loss)
+                if valid_loss < best_valid:
+                    best_valid = valid_loss
+                    self.save(params, os.path.join(ckpt_dir, "model.pth"))
+                    log("saved")
+        return {"best_valid_loss": best_valid, "history": history,
+                "checkpoint": os.path.join(ckpt_dir, "model.pth"),
+                "params": params}
+
+    def save(self, params, path: str) -> None:
+        from tpumil.io import torch_ckpt
+
+        torch_ckpt.save_state_dict(
+            simclr.export_state_dict(params, self.model_cfg), path)

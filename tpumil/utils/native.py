@@ -125,6 +125,9 @@ class NativeTiff:
         if not lib:
             raise RuntimeError("native tile service not built")
         self._lib = lib
+        # libtiff handles are NOT thread-safe (TIFFSetDirectory + reads race
+        # to heap corruption); all calls on this handle are serialized.
+        self._rlock = threading.Lock()
         self._h = lib.ts_tiff_open(path.encode())
         if not self._h:
             raise IOError(f"cannot open TIFF {path}")
@@ -141,16 +144,20 @@ class NativeTiff:
 
     def read_region(self, level: int, x: int, y: int, w: int, h: int) -> np.ndarray:
         out = np.zeros((h, w, 3), np.uint8)
-        rc = self._lib.ts_tiff_read_region(
-            self._h, level, x, y, w, h, out.ctypes.data_as(ctypes.c_void_p))
+        with self._rlock:
+            if not self._h:
+                raise IOError("TIFF handle closed")
+            rc = self._lib.ts_tiff_read_region(
+                self._h, level, x, y, w, h, out.ctypes.data_as(ctypes.c_void_p))
         if rc != 0:
             raise IOError(f"tiff read failed ({rc})")
         return out
 
     def close(self):
-        if self._h:
-            self._lib.ts_tiff_close(self._h)
-            self._h = None
+        with self._rlock:
+            if self._h:
+                self._lib.ts_tiff_close(self._h)
+                self._h = None
 
     def __del__(self):
         try:
