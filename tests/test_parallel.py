@@ -1,0 +1,96 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh (SURVEY.md section 4
+tier 5): mesh construction, data-parallel training step, instance-sharded
+attention parity."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from tpumil.models import dsmil
+from tpumil.models.dsmil import DSMILConfig
+from tpumil.parallel.bag_shard import make_instance_sharded_forward, shard_bag
+from tpumil.parallel.mesh import make_mesh
+from tpumil.parallel.sharded_train import device_put_batch, make_sharded_train_step
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (4, 2)
+    mesh2 = make_mesh(8, inst_parallel=4)
+    assert mesh2.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        make_mesh(6, inst_parallel=4)
+
+
+def test_sharded_train_step_runs_and_matches_single(rng):
+    cfg = DSMILConfig(feats_size=64, num_classes=2)
+    mesh = make_mesh(8)
+    step, optimizer = make_sharded_train_step(cfg, mesh)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = optimizer.init(params)
+
+    b, n = 8, 64
+    feats = rng.standard_normal((b, n, cfg.feats_size)).astype(np.float32)
+    mask = rng.random((b, n)) < 0.9
+    labels = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=b)]
+    f, m, l = device_put_batch(mesh, feats, mask, labels)
+    params2, opt_state2, loss_sharded = step(params, opt_state, f, m,
+                                             jnp.asarray(l), 1e-4)
+    # single-device oracle of the same minibatch loss
+    from tpumil.ops.losses import bce_with_logits
+
+    c, bag_logits, _, _ = dsmil.forward(
+        dsmil.init_params(jax.random.PRNGKey(0), cfg),
+        jnp.asarray(feats), jnp.asarray(mask))
+    maxl = dsmil.max_instance_logits(c, jnp.asarray(mask))
+    bag_l = jax.vmap(bce_with_logits)(bag_logits, jnp.asarray(labels))
+    max_l = jax.vmap(bce_with_logits)(maxl, jnp.asarray(labels))
+    want = float(jnp.mean(0.5 * bag_l + 0.5 * max_l))
+    np.testing.assert_allclose(float(loss_sharded), want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("inst_parallel", [2, 4, 8])
+def test_instance_sharded_forward_parity(rng, inst_parallel):
+    """Sequence-parallel attention over the instance axis must reproduce the
+    single-device forward exactly."""
+    cfg = DSMILConfig(feats_size=64, num_classes=2)
+    params = dsmil.init_params(jax.random.PRNGKey(3), cfg)
+    devs = np.asarray(jax.devices()[:inst_parallel])
+    mesh = Mesh(devs, ("inst",))
+
+    n, n_valid = 128, 100
+    feats = np.zeros((n, cfg.feats_size), np.float32)
+    feats[:n_valid] = rng.standard_normal((n_valid, cfg.feats_size))
+    mask = np.arange(n) < n_valid
+
+    fwd = make_instance_sharded_forward(mesh)
+    f, m = shard_bag(mesh, jnp.asarray(feats), jnp.asarray(mask))
+    bag_got, max_got, bemb_got = fwd(params, f, m)
+
+    c, bag_want, _, bemb_want = dsmil.forward(params, jnp.asarray(feats),
+                                              jnp.asarray(mask))
+    max_want = dsmil.max_instance_logits(c, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(bag_got), np.asarray(bag_want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(max_got), np.asarray(max_want),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(bemb_got), np.asarray(bemb_want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    """The driver's multichip dry run must pass on the CPU mesh."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.all(np.isfinite(np.asarray(out)))
+    mod.dryrun_multichip(8)
