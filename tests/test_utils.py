@@ -1,0 +1,73 @@
+"""Utilities tests: throughput meters, scalar logging, orbax checkpoints,
+reference metric quirks."""
+
+import json
+import os
+import time
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpumil.train import metrics
+from tpumil.utils.prof import ScalarLogger, ThroughputMeter
+
+
+def test_throughput_meter():
+    m = ThroughputMeter("patches")
+    m.add(10)
+    time.sleep(0.01)
+    m.add(10)
+    assert m.total == 20
+    assert m.rate > 0
+    assert "patches/s" in str(m)
+
+
+def test_scalar_logger(tmp_path):
+    logger = ScalarLogger(str(tmp_path), tensorboard=False)
+    logger.log("train_loss", 1.5, 0)
+    logger.log("train_loss", 1.2, 1)
+    logger.close()
+    lines = [json.loads(l) for l in open(tmp_path / "scalars.jsonl")]
+    assert [l["value"] for l in lines] == [1.5, 1.2]
+
+
+def test_orbax_roundtrip(tmp_path):
+    from tpumil.io.native_ckpt import load_train_state, save_train_state
+    from tpumil.models import dsmil
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.train.optim import adam_torch
+
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    opt = adam_torch()
+    opt_state = opt.init(params)
+    path = str(tmp_path / "ckpt")
+    save_train_state(path, params, opt_state, epoch=7, extra={"fold": 2})
+    state = load_train_state(path)
+    assert state["epoch"] == 7 and state["extra"]["fold"] == 2
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+def test_multi_label_roc_single_class_auc_is_one():
+    """Reference quirk: AUC := 1 when a fold's test split has one class
+    (train_tcga.py:150-158)."""
+    labels = np.ones((5, 1))
+    preds = np.linspace(0, 1, 5)[:, None]
+    aucs, _, thresholds = metrics.multi_label_roc(labels, preds, 1)
+    assert aucs == [1.0]
+
+
+def test_optimal_thresh_matches_reference_formula():
+    fpr = np.asarray([0.0, 0.2, 0.5, 1.0])
+    tpr = np.asarray([0.0, 0.8, 0.9, 1.0])
+    th = np.asarray([0.9, 0.6, 0.4, 0.1])
+    _, _, t = metrics.optimal_thresh(fpr, tpr, th)
+    # argmin of (fpr - tpr): index 1 (0.2 - 0.8 = -0.6)
+    assert t == 0.6
+
+
+def test_current_score():
+    assert metrics.current_score(0.8, [0.9, 0.7]) == pytest.approx((1.6 + 0.8) / 2)

@@ -133,6 +133,10 @@ class SimCLRTrainer:
 
         ckpt_dir = os.path.join(run_dir, "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
+        from tpumil.utils.prof import ScalarLogger, ThroughputMeter
+
+        scalars = ScalarLogger(run_dir)  # SummaryWriter role (simclr.py:36)
+        meter = ThroughputMeter("patches")
         best_valid = float("inf")
         key = jax.random.PRNGKey(cfg.seed + 1)
         n_iter = 0
@@ -153,10 +157,12 @@ class SimCLRTrainer:
                 params, opt_state, loss = self._train_step(
                     params, opt_state, sub, jnp.asarray(images),
                     jnp.asarray(lr, jnp.float32))
+                meter.add(images.shape[0])
                 if n_iter % cfg.log_every_n_steps == 0:
                     log(f"epoch {epoch} iter {n_iter} loss {float(loss):.4f} "
-                        f"lr {lr:.2e}")
+                        f"lr {lr:.2e} {meter}")
                     history["train_loss"].append(float(loss))
+                    scalars.log("train_loss", float(loss), n_iter)
                 n_iter += 1
             dt = time.perf_counter() - t0
             if n_batches:
@@ -175,10 +181,13 @@ class SimCLRTrainer:
                                                         jnp.asarray(images))))
                 valid_loss = float(np.mean(losses)) if losses else float("inf")
                 history["valid_loss"].append(valid_loss)
+                scalars.log("validation_loss", valid_loss, epoch)
                 if valid_loss < best_valid:
                     best_valid = valid_loss
                     self.save(params, os.path.join(ckpt_dir, "model.pth"))
                     log("saved")
+            scalars.log("cosine_lr_decay", lr, n_iter)
+        scalars.close()
         return {"best_valid_loss": best_valid, "history": history,
                 "checkpoint": os.path.join(ckpt_dir, "model.pth"),
                 "params": params}
