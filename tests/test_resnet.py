@@ -102,3 +102,16 @@ def test_bf16_compute_close_to_f32(rng):
     corr = np.corrcoef(f32.ravel(), bf16.ravel())[0, 1]
     assert corr > 0.98, f"bf16/f32 feature correlation too low: {corr}"
     assert np.max(np.abs(f32 - bf16)) / (np.max(np.abs(f32)) + 1e-9) < 0.35
+
+
+def test_space_to_depth_stem_parity(rng):
+    """The s2d stem rewrite must be numerically identical to the 7x7/s2
+    conv (f32 noise only)."""
+    cfg = ResNetConfig(depth=18, norm="instance")
+    cfg_s2d = ResNetConfig(depth=18, norm="instance", space_to_depth=True)
+    import jax
+    params = resnet.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    a = np.asarray(resnet.forward(params, x, cfg))
+    b = np.asarray(resnet.forward(params, x, cfg_s2d))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

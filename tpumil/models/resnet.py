@@ -44,6 +44,10 @@ class ResNetConfig:
     depth: int = 18
     norm: str = "instance"  # "instance" | "batch"
     compute_dtype: object = jnp.float32
+    # Rewrite the 7x7/s2 stem conv as a 2x2 space-to-depth + 4x4/s1 conv
+    # (MLPerf TPU ResNet trick): mathematically identical, but the MXU sees
+    # 12 input channels instead of 3 and a quarter of the spatial positions.
+    space_to_depth: bool = False
 
     @property
     def block(self) -> str:
@@ -186,11 +190,31 @@ def _maxpool_3x3_s2(x):
         padding=((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+def _stem_space_to_depth(x, w7, dtype):
+    """conv1 7x7/s2/p3 expressed on a 2x2 space-to-depth input: channel
+    packing (py, px, c); kernel padded to 8x8 and regrouped to 4x4x12;
+    asymmetric padding (2, 1) reproduces the original receptive field
+    exactly (verified to f32 noise)."""
+    b, h, w, _ = x.shape
+    xs = x.reshape(b, h // 2, 2, w // 2, 2, 3).transpose(0, 1, 3, 2, 4, 5) \
+        .reshape(b, h // 2, w // 2, 12)
+    wp = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    ws = wp.reshape(4, 2, 4, 2, 3, -1).transpose(0, 2, 1, 3, 4, 5) \
+        .reshape(4, 4, 12, -1)
+    return jax.lax.conv_general_dilated(
+        xs.astype(dtype), ws.astype(dtype), (1, 1), ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+
+
 def forward(params: Dict[str, jnp.ndarray], x, cfg: ResNetConfig):
     """x: [N, H, W, 3] float (0-1 range as produced by to_tensor). Returns
     pooled features [N, num_feats] in float32."""
     dtype = cfg.compute_dtype
-    x = _conv(x, params["conv1.weight"], 2, dtype)
+    if cfg.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = _stem_space_to_depth(x, params["conv1.weight"], dtype)
+    else:
+        x = _conv(x, params["conv1.weight"], 2, dtype)
     x = _norm(params, x, "conv1.weight", cfg)
     x = jax.nn.relu(x)
     x = _maxpool_3x3_s2(x)
