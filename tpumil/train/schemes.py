@@ -122,6 +122,10 @@ class WSITrainConfig:
     # host->device feature traffic (vs the reference's torch.load per step,
     # train_tcga.py:62).
     use_device_store: bool = True
+    # Evaluate (and early-stop-check) every N epochs. 1 = reference-exact
+    # cadence (train_tcga.py:274-287). Larger values fuse N epochs into one
+    # device dispatch per bucket — much faster when dispatch latency is high.
+    eval_interval: int = 1
 
 
 def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
@@ -201,14 +205,26 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
             "thresholds": [0.5] * cfg.num_classes, "acc": 0.0,
             "aucs": [0.0] * cfg.num_classes}
     counter = 0
-    for epoch in range(1, cfg.num_epochs + 1):
-        counter += 1
-        params, opt_state, train_loss = trainer.train_epoch(
-            params, opt_state, train_bags, lr_of(epoch - 1), rng)
+    from tpumil.data.device_store import DeviceBagStore
+
+    fused = cfg.eval_interval > 1 and isinstance(train_bags, DeviceBagStore)
+    epoch = 1
+    while epoch <= cfg.num_epochs:
+        k = min(cfg.eval_interval, cfg.num_epochs - epoch + 1) if fused else 1
+        counter += k
+        if fused:
+            lrs = [lr_of(e - 1) for e in range(epoch, epoch + k)]
+            params, opt_state, losses = trainer.train_epochs(
+                params, opt_state, train_bags, lrs, rng)
+            train_loss = float(losses[-1])
+        else:
+            params, opt_state, train_loss = trainer.train_epoch(
+                params, opt_state, train_bags, lr_of(epoch - 1), rng)
+        epoch += k
         res = evaluate_bags(trainer, params, test_bags, cfg, rng=rng)
         if cfg.verbose:
             auc_str = "|".join(f"class-{i}>>{a:.4f}" for i, a in enumerate(res["aucs"]))
-            log(f" epoch {epoch}/{cfg.num_epochs} train loss: {train_loss:.4f} "
+            log(f" epoch {epoch - 1}/{cfg.num_epochs} train loss: {train_loss:.4f} "
                 f"test loss: {res['loss']:.4f} avg score: {res['avg_score']:.4f} "
                 f"AUC: {auc_str}")
         score = metrics.current_score(res["avg_score"], res["aucs"])
@@ -224,18 +240,35 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
     return best
 
 
+def _global_store(bags, cfg):
+    """One HBM-resident store for the whole dataset; folds become
+    device-side gathers (DeviceBagStore.subset)."""
+    if not cfg.use_device_store:
+        return None
+    from tpumil.data.device_store import DeviceBagStore
+
+    return DeviceBagStore(bags)
+
+
+def _fold_views(store, bags, tr_idx, te_idx):
+    if store is not None:
+        return store.subset(tr_idx), store.subset(te_idx)
+    return [bags[i] for i in tr_idx], [bags[i] for i in te_idx]
+
+
 def run_5fold_cv(bags: List[Bag], cfg: WSITrainConfig,
                  log: Callable[[str], None] = print,
                  save_dir: Optional[str] = None) -> dict:
     """train_tcga.py:252-294."""
     trainer = _make_trainer(cfg)
     rng = np.random.default_rng(cfg.seed)
+    store = _global_store(bags, cfg)
     fold_results = []
     for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(bags), 5)):
         log(f"Starting CV fold {fold}.")
         save_cb = _fold_saver(save_dir, fold) if save_dir else None
-        best = train_fold(trainer, [bags[i] for i in tr_idx],
-                          [bags[i] for i in te_idx], cfg, rng,
+        tr, te = _fold_views(store, bags, tr_idx, te_idx)
+        best = train_fold(trainer, tr, te, cfg, rng,
                           jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
         fold_results.append(best)
     mean_ac = float(np.mean([b["acc"] for b in fold_results]))
@@ -257,6 +290,7 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
     correctly with the fold's saved thresholds.)"""
     trainer = _make_trainer(cfg)
     rng = np.random.default_rng(cfg.seed)
+    store = _global_store(bags, cfg)
     results = []
     for it in range(5):
         log(f"Starting iteration {it + 1}.")
@@ -264,9 +298,12 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
         n = len(bags)
         train_end = int(n * (1 - cfg.split - 0.1))
         val_end = train_end + int(n * 0.1)
-        train_bags = [bags[i] for i in order[:train_end]]
-        val_bags = [bags[i] for i in order[train_end:val_end]]
-        test_bags = [bags[i] for i in order[val_end:]]
+        train_bags, val_bags = _fold_views(store, bags, order[:train_end],
+                                           order[train_end:val_end])
+        if store is not None:
+            test_bags = store.subset(order[val_end:])
+        else:
+            test_bags = [bags[i] for i in order[val_end:]]
         save_cb = _fold_saver(save_dir, it) if save_dir else None
         best = train_fold(trainer, train_bags, val_bags, cfg, rng,
                           jax.random.PRNGKey(cfg.seed + it), log, save_cb)
@@ -293,27 +330,27 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
 
     trainer = _make_trainer(cfg)
     rng = np.random.default_rng(cfg.seed)
+    store = _global_store(bags, cfg)
     order = rng.permutation(len(bags))
     n_hold = int(cfg.split * len(bags))
     holdout = [bags[i] for i in order[:n_hold]]
-    rest = [bags[i] for i in order[n_hold:]]
+    rest_idx = order[n_hold:]
+    rest = [bags[i] for i in rest_idx]
 
     fold_models = []
     fold_results = []
     for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(rest), 5)):
         log(f"Starting CV fold {fold}.")
         save_cb = _fold_saver(save_dir, fold) if save_dir else None
-        best = train_fold(trainer, [rest[i] for i in tr_idx],
-                          [rest[i] for i in te_idx], cfg, rng,
+        tr, te = _fold_views(store, bags, rest_idx[tr_idx], rest_idx[te_idx])
+        best = train_fold(trainer, tr, te, cfg, rng,
                           jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
         fold_models.append((best["params"], best["thresholds"]))
         fold_results.append(best)
 
     holdout_eval = holdout
-    if cfg.use_device_store:
-        from tpumil.data.device_store import DeviceBagStore
-
-        holdout_eval = DeviceBagStore(holdout)
+    if store is not None:
+        holdout_eval = store.subset(order[:n_hold])
     fold_predictions = []
     labels = None
     for params, thresholds in fold_models:

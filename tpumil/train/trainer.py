@@ -101,26 +101,64 @@ class BagTrainer:
                 step, (params, opt_state), (feats, mask, labels, rngs))
             return params, opt_state, jnp.sum(losses)
 
+        def _gated_step(p, s, i, key, real, feats, mask, labels, lr):
+            """One per-bag step; dummy rows (count-padding, real=False) leave
+            params/opt_state untouched — a plain zero-grad step would still
+            apply weight decay and advance Adam moments."""
+            f = jnp.take(feats, i, axis=0)
+            m = jnp.take(mask, i, axis=0)
+            y = jnp.take(labels, i, axis=0)
+            if self.dropout_patch > 0.0:
+                m = patch_dropout_mask(key, m, keep_frac)
+            loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y)
+            p2, s2 = self.optimizer.step(p, s, grads, lr)
+            p = jax.tree.map(lambda a, b: jnp.where(real, a, b), p2, p)
+            s = jax.tree.map(
+                lambda a, b: jnp.where(real, a, b) if hasattr(a, "dtype") else a,
+                s2, s)
+            return p, s, jnp.where(real, loss, 0.0)
+
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_bucket(params, opt_state, feats, mask, labels, perm, lr, rngs):
+        def train_bucket(params, opt_state, feats, mask, labels, perm, lr,
+                         rngs, real):
             """Scan per-bag steps over a device-resident bucket: features
             never leave HBM; only ``perm`` (the epoch shuffle) and ``lr``
             cross the host boundary."""
             def step(carry, xs):
                 p, s = carry
-                i, key = xs
-                f = jnp.take(feats, i, axis=0)
-                m = jnp.take(mask, i, axis=0)
-                y = jnp.take(labels, i, axis=0)
-                if self.dropout_patch > 0.0:
-                    m = patch_dropout_mask(key, m, keep_frac)
-                loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y)
-                p, s = self.optimizer.step(p, s, grads, lr)
+                i, key, r = xs
+                p, s, loss = _gated_step(p, s, i, key, r, feats, mask, labels, lr)
                 return (p, s), loss
 
             (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (perm, rngs))
+                step, (params, opt_state), (perm, rngs, real))
             return params, opt_state, jnp.sum(losses)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def train_bucket_epochs(params, opt_state, feats, mask, labels, perms,
+                                lrs, rngs, real):
+            """Multiple epochs over one bucket in a single dispatch: scan over
+            epochs of scans over bags. perms [E, B], lrs [E], rngs [E, B, 2],
+            real [E, B]. Collapses E x B host dispatches into one — important
+            when dispatch latency is high (remote TPU) and for long
+            trainings."""
+            def epoch(carry, xs):
+                p, s = carry
+                perm, lr, keys, r_flags = xs
+
+                def step(carry2, xs2):
+                    p2, s2 = carry2
+                    i, key, r = xs2
+                    p2, s2, loss = _gated_step(p2, s2, i, key, r, feats, mask,
+                                               labels, lr)
+                    return (p2, s2), loss
+
+                (p, s), losses = jax.lax.scan(step, (p, s), (perm, keys, r_flags))
+                return (p, s), jnp.sum(losses)
+
+            (params, opt_state), epoch_losses = jax.lax.scan(
+                epoch, (params, opt_state), (perms, lrs, rngs, real))
+            return params, opt_state, epoch_losses
 
         @jax.jit
         def eval_chunk(params, feats, mask, labels, rngs):
@@ -141,6 +179,7 @@ class BagTrainer:
 
         self._train_chunk = train_chunk
         self._train_bucket = train_bucket
+        self._train_bucket_epochs = train_bucket_epochs
         self._eval_chunk = eval_chunk
 
     # -- public API ---------------------------------------------------------
@@ -172,6 +211,42 @@ class BagTrainer:
             total += float(loss)
         return params, opt_state, total / max(len(bags), 1)
 
+    @staticmethod
+    def _bucket_perm(store, nmax, rng):
+        """Shuffled real rows followed by the count-padding dummies, with a
+        matching real-flag vector."""
+        b_pad = store.buckets[nmax][0].shape[0]
+        n_real = store.counts.get(nmax, b_pad)
+        perm = np.concatenate([rng.permutation(n_real),
+                               np.arange(n_real, b_pad)])
+        real = np.arange(b_pad) < n_real
+        return perm, real
+
+    def train_epochs(self, params, opt_state, store, lrs,
+                     rng: np.random.Generator):
+        """Run ``len(lrs)`` epochs over a DeviceBagStore with ONE dispatch per
+        bucket: all per-epoch shuffles and LRs ship as small arrays. Returns
+        (params, opt_state, mean_loss_per_epoch [E]). Note: the E epochs run
+        bucket-by-bucket (bucket A epochs 1..E, then bucket B ...) — within-
+        epoch bag order remains shuffled, but buckets do not interleave
+        across the fused epochs."""
+        e = len(lrs)
+        lrs_j = jnp.asarray(lrs, jnp.float32)
+        totals = np.zeros((e,), np.float64)
+        for nmax in store.bucket_sizes:
+            feats, mask, labels = store.buckets[nmax]
+            b = feats.shape[0]
+            pr = [self._bucket_perm(store, nmax, rng) for _ in range(e)]
+            perms = jnp.asarray(np.stack([p for p, _ in pr]))
+            real = jnp.asarray(np.stack([r for _, r in pr]))
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
+            ).reshape(e, b, 2)
+            params, opt_state, losses = self._train_bucket_epochs(
+                params, opt_state, feats, mask, labels, perms, lrs_j, keys, real)
+            totals += np.asarray(losses, np.float64)
+        return params, opt_state, totals / max(store.num_bags, 1)
+
     def _train_epoch_store(self, params, opt_state, store, lr,
                            rng: np.random.Generator):
         lr = jnp.asarray(lr, jnp.float32)
@@ -181,11 +256,12 @@ class BagTrainer:
         for nmax in sizes:
             feats, mask, labels = store.buckets[nmax]
             b = feats.shape[0]
-            perm = jnp.asarray(rng.permutation(b))
+            perm, real = self._bucket_perm(store, nmax, rng)
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
             params, opt_state, loss = self._train_bucket(
-                params, opt_state, feats, mask, labels, perm, lr, keys)
+                params, opt_state, feats, mask, labels, jnp.asarray(perm),
+                lr, keys, jnp.asarray(real))
             total += float(loss)
         return params, opt_state, total / max(store.num_bags, 1)
 
@@ -231,6 +307,6 @@ class BagTrainer:
                 params, feats, mask, labels, keys)
             chosen = np.asarray(avg_scores if average else scores)
             idx = store.index[nmax]
-            scores_out[idx] = chosen
-            losses_out[idx] = np.asarray(losses)
+            scores_out[idx] = chosen[:len(idx)]  # dummies sit past the reals
+            losses_out[idx] = np.asarray(losses)[:len(idx)]
         return scores_out, losses_out
