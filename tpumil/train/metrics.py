@@ -106,8 +106,8 @@ def standalone_test_metrics(labels: np.ndarray, combined_predictions: np.ndarray
             "hamming_loss": float(hamming_loss(labels, combined_predictions)),
             "subset_accuracy": float(accuracy_score(labels, combined_predictions)),
         }
-    labels = np.squeeze(np.asarray(labels))
-    combined_predictions = np.squeeze(np.asarray(combined_predictions))
+    labels = np.atleast_1d(np.squeeze(np.asarray(labels)))
+    combined_predictions = np.atleast_1d(np.squeeze(np.asarray(combined_predictions)))
     return {
         "accuracy": float(accuracy_score(labels, combined_predictions)),
         "balanced_accuracy": float(balanced_accuracy_score(labels, combined_predictions)),

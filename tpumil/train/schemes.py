@@ -359,7 +359,7 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
         fold_predictions.append(res["predictions"])
         labels = res["labels"]
     stack = np.stack(fold_predictions, axis=0)
-    combined = np.squeeze(mode(stack, axis=0, keepdims=True).mode[0])
+    combined = np.atleast_1d(np.squeeze(mode(stack, axis=0, keepdims=True).mode[0]))
     final = metrics.standalone_test_metrics(labels, combined, cfg.num_classes)
     for k, v in final.items():
         log(f"{k}: {v}")
