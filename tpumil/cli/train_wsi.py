@@ -38,6 +38,9 @@ def main(argv=None):
     parser.add_argument("--cache_dir", default="temp_train", type=str)
     parser.add_argument("--save_root", default="weights", type=str)
     args = parser.parse_args(argv)
+    if args.eval_scheme not in ("5-fold-cv", "5-time-train+valid+test",
+                                "5-fold-cv-standalone-test"):
+        parser.error(f"unknown eval scheme {args.eval_scheme}")
     print(args.eval_scheme)
 
     from tpumil.utils.platform import select_platform

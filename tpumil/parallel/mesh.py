@@ -56,3 +56,38 @@ def bag_batch_sharding(mesh: Mesh) -> Tuple[NamedSharding, NamedSharding, NamedS
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host initialization (jax.distributed). On single-host TPU VMs
+    and in tests this is a no-op; on a pod slice the TPU runtime autodetects
+    everything, so bare ``init_distributed()`` suffices. The reference has no
+    distributed backend at all (SURVEY.md section 2.3)."""
+    import jax
+
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError) as e:
+        # already initialized, or single-process run without a coordinator
+        if "already" not in str(e).lower() and coordinator_address is not None:
+            raise
+
+
+def make_hybrid_mesh(ici_shape: Tuple[int, int], dcn_data: int = 1) -> Mesh:
+    """Multi-slice mesh: (data, inst) within each ICI-connected slice,
+    replicated data-parallel groups across DCN. Collectives for the instance
+    axis stay on ICI; only gradient sums cross DCN — the layout rule of the
+    scaling-book recipe."""
+    import jax
+    from jax.experimental import mesh_utils
+
+    if dcn_data == 1:
+        devices = np.asarray(jax.devices()[:ici_shape[0] * ici_shape[1]])
+        return Mesh(devices.reshape(ici_shape), (DATA_AXIS, INST_AXIS))
+    grid = mesh_utils.create_hybrid_device_mesh(
+        mesh_shape=ici_shape, dcn_mesh_shape=(dcn_data, 1))
+    return Mesh(grid, (DATA_AXIS, INST_AXIS))
