@@ -19,6 +19,7 @@ CLIS = [
     "tpumil.cli.crop_single",
     "tpumil.cli.download",
     "tpumil.cli.pipeline",
+    "tpumil.cli.slide_feats",
 ]
 
 

@@ -1,0 +1,163 @@
+"""Streaming slide -> features: tile and embed in one pass, no JPEG round
+trip.
+
+The reference pipeline materializes every patch as a JPEG on disk
+(deepzoom_tiler.py) and re-decodes it in the next stage
+(compute_feats.py:25-33) — encode+decode+filesystem for every patch. This
+module wires the tiler directly into the embedder (SURVEY.md section 7 step
+5): tiles are fetched and background-filtered by a host thread pool, batched
+into pinned buffers, and fed to the jitted bf16 embedder while the next
+batch is being prepared. Optionally the JPEGs are still written for
+folder-layout compatibility.
+
+Output contract matches compute_feats: a per-bag CSV of features (and the
+``col_row`` position of every kept tile, enabling heatmaps without re-tiling).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import queue
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tpumil.data.slide import DeepZoom, magnification_plan, open_slide
+from tpumil.data.tiler import TilerConfig, edge_energy
+from tpumil.infer.features import FeatureExtractor
+
+
+@dataclasses.dataclass
+class StreamStats:
+    tiles_total: int = 0
+    tiles_kept: int = 0
+    seconds: float = 0.0
+
+    @property
+    def slides_per_min(self) -> float:
+        return 60.0 / self.seconds if self.seconds else 0.0
+
+
+def embed_slide_streaming(slide_path: str, extractor: FeatureExtractor,
+                          mag_levels: Sequence[int] = (0,),
+                          cfg: Optional[TilerConfig] = None,
+                          batch_size: int = 64,
+                          write_patch_dir: Optional[str] = None,
+                          ) -> Tuple[np.ndarray, np.ndarray, StreamStats]:
+    """Tile one slide at the requested magnification and embed the kept
+    tiles. Returns (feats [N, K], positions [N, 2] as (col, row), stats).
+
+    Single-magnification only (the hot path); for the pyramid layout use the
+    folder pipeline.
+    """
+    cfg = cfg or TilerConfig()
+    assert len(tuple(mag_levels)) == 1, "streaming path is single-magnification"
+    t0 = time.perf_counter()
+    slide = open_slide(slide_path)
+    stats = StreamStats()
+    try:
+        dz = DeepZoom(slide, cfg.tile_size, cfg.overlap)
+        (dz_level, _), = magnification_plan(dz, tuple(mag_levels), cfg.base_mag,
+                                            cfg.objective)
+        cols, rows = dz.level_tiles(dz_level)
+        addrs = [(c, r) for r in range(rows) for c in range(cols)]
+        stats.tiles_total = len(addrs)
+
+        def fetch(addr):
+            try:
+                tile = dz.get_tile(dz_level, addr)
+            except Exception:
+                return addr, None
+            if edge_energy(tile, cfg.tile_size) <= cfg.background_threshold:
+                return addr, None
+            if tile.shape[:2] != (cfg.tile_size, cfg.tile_size):
+                from PIL import Image
+
+                tile = np.asarray(Image.fromarray(tile).resize(
+                    (cfg.tile_size, cfg.tile_size)))
+            return addr, tile
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def producer():
+            batch: List[np.ndarray] = []
+            pos: List[Tuple[int, int]] = []
+            with ThreadPoolExecutor(cfg.workers) as pool:
+                for addr, tile in pool.map(fetch, addrs):
+                    if tile is None:
+                        continue
+                    if write_patch_dir is not None:
+                        from PIL import Image
+
+                        os.makedirs(write_patch_dir, exist_ok=True)
+                        Image.fromarray(tile).save(
+                            os.path.join(write_patch_dir,
+                                         f"{addr[0]}_{addr[1]}.{cfg.format}"),
+                            quality=cfg.quality)
+                    batch.append(tile.astype(np.float32) / 255.0)
+                    pos.append(addr)
+                    if len(batch) == batch_size:
+                        q.put((np.stack(batch), pos))
+                        batch, pos = [], []
+            if batch:
+                pad = np.zeros((batch_size - len(batch),) + batch[0].shape,
+                               np.float32)
+                q.put((np.concatenate([np.stack(batch), pad]), pos))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        feats_parts, positions = [], []
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            arr, pos = item
+            feats = extractor.embed_arrays(arr)
+            feats_parts.append(feats[:len(pos)])
+            positions.extend(pos)
+        stats.tiles_kept = len(positions)
+        stats.seconds = time.perf_counter() - t0
+        if not positions:
+            k = extractor.cfg.num_feats
+            return np.zeros((0, k), np.float32), np.zeros((0, 2), int), stats
+        return (np.concatenate(feats_parts), np.asarray(positions, int), stats)
+    finally:
+        slide.close()
+
+
+def embed_dataset_streaming(wsi_root: str, dataset: str,
+                            extractor: FeatureExtractor, out_root: str,
+                            cfg: Optional[TilerConfig] = None,
+                            slide_format: str = "svs",
+                            mag_levels: Sequence[int] = (0,),
+                            log: Callable[[str], None] = print) -> str:
+    """Stream every slide of ``WSI/<dataset>/<class>/*.<fmt>`` into per-bag
+    feature CSVs + the master dataset CSV. Returns the master CSV path."""
+    import glob as _glob
+
+    from tpumil.data.feature_store import build_dataset_csvs, write_bag_csv
+
+    cfg = cfg or TilerConfig()
+    path_base = os.path.join(wsi_root, dataset)
+    slides = (_glob.glob(os.path.join(path_base, "*", f"*.{slide_format}"))
+              + _glob.glob(os.path.join(path_base, "*", "*", f"*.{slide_format}")))
+    feats_path = os.path.join(out_root, dataset)
+    for i, slide_path in enumerate(slides):
+        rel = os.path.relpath(slide_path, path_base)
+        cls = rel.split(os.sep)[0]
+        name = os.path.splitext(os.path.basename(slide_path))[0]
+        feats, positions, stats = embed_slide_streaming(
+            slide_path, extractor, mag_levels, cfg)
+        if feats.shape[0] == 0:
+            log(f"No valid patch extracted from: {slide_path}")
+            continue
+        write_bag_csv(feats, os.path.join(feats_path, cls, name + ".csv"))
+        log(f"[{i + 1}/{len(slides)}] {name}: {stats.tiles_kept}/"
+            f"{stats.tiles_total} tiles -> feats in {stats.seconds:.1f}s "
+            f"({stats.slides_per_min:.2f} slides/min)")
+    return build_dataset_csvs(feats_path, dataset)
