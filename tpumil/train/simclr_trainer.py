@@ -51,6 +51,10 @@ class SimCLRTrainConfig:
     seed: int = 0
     log_every_n_steps: int = 25
     num_workers: int = 8
+    # rematerialize the backbone in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(batch) activation memory — enables the
+    # reference's batch_size 4096 (config.yaml:1) on one chip.
+    remat: bool = False
 
 
 class SimCLRTrainer:
@@ -62,11 +66,15 @@ class SimCLRTrainer:
                                     weight_decay=cfg.weight_decay)
         self.mesh = mesh
 
+        fwd = simclr.forward
+        if cfg.remat:
+            fwd = jax.checkpoint(simclr.forward, static_argnums=(2,))
+
         def loss_fn(params, v1, v2):
             from tpumil.ops.nt_xent import l2_normalize
 
-            _, z1 = simclr.forward(params, v1, model_cfg)
-            _, z2 = simclr.forward(params, v2, model_cfg)
+            _, z1 = fwd(params, v1, model_cfg)
+            _, z2 = fwd(params, v2, model_cfg)
             # F.normalize parity (simclr.py:53-54) with a 0-safe gradient
             z1 = l2_normalize(z1)
             z2 = l2_normalize(z2)
