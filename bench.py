@@ -37,7 +37,8 @@ def bench_feature_extraction(batch: int = 256, scan_len: int = 16,
     from tpumil.models import embedder
     from tpumil.models.embedder import EmbedderConfig
 
-    cfg = EmbedderConfig(backbone="resnet18", norm="instance", num_classes=1)
+    cfg = EmbedderConfig(backbone="resnet18", norm="instance", num_classes=1,
+                         space_to_depth=True)
     params = embedder.init_params(jax.random.PRNGKey(0), cfg)
 
     @jax.jit

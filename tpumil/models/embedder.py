@@ -34,11 +34,13 @@ class EmbedderConfig:
     norm: str = "instance"          # compute_feats.py:135
     num_classes: int = 2
     compute_dtype: object = jnp.bfloat16  # bf16 inference on the MXU
+    space_to_depth: bool = False
 
     @property
     def resnet_cfg(self) -> ResNetConfig:
         return ResNetConfig(depth=BACKBONE_DEPTH[self.backbone], norm=self.norm,
-                            compute_dtype=self.compute_dtype)
+                            compute_dtype=self.compute_dtype,
+                            space_to_depth=self.space_to_depth)
 
     @property
     def num_feats(self) -> int:
