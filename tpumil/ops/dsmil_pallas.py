@@ -37,8 +37,8 @@ from tpumil.models.dsmil import ATTN_DIM
 
 
 def _kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
-            qmax_ref, out_ref, m_ref, s_ref, acc_ref, *, tile_n: int,
-            nonlinear: bool):
+            qmax_ref, out_ref, m_out_ref, s_out_ref, m_ref, s_ref, acc_ref,
+            *, tile_n: int, nonlinear: bool):
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
 
@@ -75,13 +75,16 @@ def _kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     @pl.when(i == n_prog - 1)
     def _finalize():
         out_ref[:] = acc_ref[:] / jnp.maximum(s_ref[:].T, 1e-30)
+        # softmax statistics: residuals for the streaming backward
+        m_out_ref[:] = m_ref[:]
+        s_out_ref[:] = s_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "nonlinear", "interpret",
-                                              "feats_dtype"))
+                                              "feats_dtype", "return_stats"))
 def fused_attention_pool(feats, q_params, q_max, n_valid, *, tile_n: int = 2048,
                          nonlinear: bool = True, interpret: bool = False,
-                         feats_dtype=jnp.float32):
+                         feats_dtype=jnp.float32, return_stats: bool = False):
     """Bag embedding ``B = softmax_N(q(feats) @ q_max^T / sqrt(D))^T feats``.
 
     Args:
@@ -121,8 +124,11 @@ def fused_attention_pool(feats, q_params, q_max, n_valid, *, tile_n: int = 2048,
             pl.BlockSpec((c, ATTN_DIM), lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((c, k), lambda i, *_: (0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=(
+            pl.BlockSpec((c, k), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ),
         scratch_shapes=[
             pltpu.VMEM((1, c), jnp.float32),    # running max
             pltpu.VMEM((1, c), jnp.float32),    # running denom
@@ -132,15 +138,237 @@ def fused_attention_pool(feats, q_params, q_max, n_valid, *, tile_n: int = 2048,
     kernel = functools.partial(_kernel, tile_n=tile_n, nonlinear=nonlinear)
     # bf16 feats halve the HBM traffic of the streaming read; all dots
     # accumulate in f32 (preferred_element_type) so the softmax stays stable.
-    return pl.pallas_call(
+    out, m_stat, s_stat = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((c, k), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((c, k), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)),
         interpret=interpret,
     )(jnp.asarray([n_valid], jnp.int32), feats.astype(feats_dtype),
       w0.astype(feats_dtype), b0.astype(jnp.float32),
       w2.astype(feats_dtype), b2.astype(jnp.float32),
       q_max.astype(feats_dtype))
+    if return_stats:
+        return out, m_stat, s_stat
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming backward (flash-attention style): two recompute passes over the
+# feature tiles. Pass 1 reduces s_red[c] = sum_n A[n,c] * dA[n,c]; pass 2
+# recomputes activations per tile and emits dF tile-wise plus accumulated
+# weight gradients. Residuals are only the softmax stats (m, s) — Q, A, and
+# the MLP activations are never materialized in HBM, so training memory is
+# O(tile) instead of O(N).
+# ---------------------------------------------------------------------------
+
+def _recompute_tile(i, n_valid_ref, f, w0_ref, b0_ref, w2_ref, b2_ref,
+                    qmax_ref, m_stat_ref, s_stat_ref, tile_n, nonlinear):
+    """Shared recompute: returns (z1, hgate, q, A) for one tile."""
+    z1 = jnp.dot(f, w0_ref[:].T, preferred_element_type=jnp.float32) + b0_ref[:]
+    if nonlinear:
+        hgate = jnp.maximum(z1, 0.0)
+        z2 = jnp.dot(hgate, w2_ref[:].T,
+                     preferred_element_type=jnp.float32) + b2_ref[:]
+        q = jnp.tanh(z2)
+    else:
+        hgate = z1
+        q = z1
+    scale = 1.0 / jnp.sqrt(jnp.float32(ATTN_DIM))
+    l = jnp.dot(q, qmax_ref[:].T, preferred_element_type=jnp.float32) * scale
+    row = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, l.shape, 0)
+    l = jnp.where(row < n_valid_ref[0], l, -1e30)
+    a = jnp.exp(l - m_stat_ref[:]) / jnp.maximum(s_stat_ref[:], 1e-30)
+    a = jnp.where(row < n_valid_ref[0], a, 0.0)
+    return z1, hgate, q, a
+
+
+def _bwd1_kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
+                 qmax_ref, m_stat_ref, s_stat_ref, db_ref, s_red_ref,
+                 acc_ref, *, tile_n: int, nonlinear: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    f = feats_ref[:]
+    _, _, _, a = _recompute_tile(i, n_valid_ref, f, w0_ref, b0_ref, w2_ref,
+                                 b2_ref, qmax_ref, m_stat_ref, s_stat_ref,
+                                 tile_n, nonlinear)
+    da = jnp.dot(f, db_ref[:].T, preferred_element_type=jnp.float32)  # [T, C]
+    acc_ref[:] = acc_ref[:] + jnp.sum(a * da, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _finalize():
+        s_red_ref[:] = acc_ref[:]
+
+
+def _bwd2_kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
+                 qmax_ref, m_stat_ref, s_stat_ref, db_ref, s_red_ref,
+                 df_ref, dw0_ref, db0_ref, dw2_ref, db2_ref, dqm_ref,
+                 dw0_acc, db0_acc, dw2_acc, db2_acc, dqm_acc,
+                 *, tile_n: int, nonlinear: bool):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        dw0_acc[:] = jnp.zeros_like(dw0_acc)
+        db0_acc[:] = jnp.zeros_like(db0_acc)
+        dw2_acc[:] = jnp.zeros_like(dw2_acc)
+        db2_acc[:] = jnp.zeros_like(db2_acc)
+        dqm_acc[:] = jnp.zeros_like(dqm_acc)
+
+    f = feats_ref[:]
+    z1, hgate, q, a = _recompute_tile(i, n_valid_ref, f, w0_ref, b0_ref,
+                                      w2_ref, b2_ref, qmax_ref, m_stat_ref,
+                                      s_stat_ref, tile_n, nonlinear)
+    scale = 1.0 / jnp.sqrt(jnp.float32(ATTN_DIM))
+    da = jnp.dot(f, db_ref[:].T, preferred_element_type=jnp.float32)
+    dl = a * (da - s_red_ref[:])                              # [T, C]
+    dq = jnp.dot(dl, qmax_ref[:], preferred_element_type=jnp.float32) * scale
+    dqm_acc[:] = dqm_acc[:] + jnp.dot(
+        dl.T, q, preferred_element_type=jnp.float32) * scale  # [C, D]
+    if nonlinear:
+        dz2 = dq * (1.0 - q * q)
+        dw2_acc[:] = dw2_acc[:] + jnp.dot(
+            dz2.T, hgate, preferred_element_type=jnp.float32)
+        db2_acc[:] = db2_acc[:] + jnp.sum(dz2, axis=0, keepdims=True)
+        dh = jnp.dot(dz2, w2_ref[:], preferred_element_type=jnp.float32)
+        dz1 = dh * (z1 > 0.0).astype(jnp.float32)
+    else:
+        dz1 = dq
+    dw0_acc[:] = dw0_acc[:] + jnp.dot(
+        dz1.T, f, preferred_element_type=jnp.float32)
+    db0_acc[:] = db0_acc[:] + jnp.sum(dz1, axis=0, keepdims=True)
+    df_ref[:] = (jnp.dot(a, db_ref[:], preferred_element_type=jnp.float32)
+                 + jnp.dot(dz1, w0_ref[:], preferred_element_type=jnp.float32))
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _finalize():
+        dw0_ref[:] = dw0_acc[:]
+        db0_ref[:] = db0_acc[:]
+        dw2_ref[:] = dw2_acc[:]
+        db2_ref[:] = db2_acc[:]
+        dqm_ref[:] = dqm_acc[:]
+
+
+def make_trainable_pool(tile_n: int = 2048, nonlinear: bool = True,
+                        interpret: bool = False):
+    """Differentiable fused pooling: returns
+    ``pool(feats, w0, b0, w2, b2, q_max, n_valid_arr) -> B [C, K]`` with a
+    custom VJP whose backward streams the tiles twice (recompute) instead of
+    materializing Q/A — O(tile) training memory for arbitrarily long bags.
+
+    In the linear-q case pass ``w2 = I-like zeros`` and its grads come back
+    zero.
+    """
+    d = ATTN_DIM
+
+    def _run_fwd(feats, w0, b0, w2, b2, q_max, n_valid_arr):
+        q_params = {"w0": w0, "b0": b0, "w2": w2, "b2": b2} if nonlinear \
+            else {"w": w0, "b": b0}
+        return fused_attention_pool(
+            feats, q_params, q_max, n_valid_arr[0], tile_n=tile_n,
+            nonlinear=nonlinear, interpret=interpret, return_stats=True)
+
+    def _common_in_specs(k, c):
+        return [
+            pl.BlockSpec((tile_n, k), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, k), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i, *_: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda i, *_: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, d), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, k), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+        ]
+
+    def _run_bwd(feats, w0, b0, w2, b2, q_max, n_valid_arr, m_stat, s_stat, db):
+        n, k = feats.shape
+        c = q_max.shape[0]
+        common_args = (n_valid_arr.astype(jnp.int32), feats.astype(jnp.float32),
+                       w0.astype(jnp.float32), b0.astype(jnp.float32),
+                       w2.astype(jnp.float32), b2.astype(jnp.float32),
+                       q_max.astype(jnp.float32), m_stat, s_stat,
+                       db.astype(jnp.float32))
+        grid = (n // tile_n,)
+        s_red = pl.pallas_call(
+            functools.partial(_bwd1_kernel, tile_n=tile_n, nonlinear=nonlinear),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=_common_in_specs(k, c),
+                out_specs=pl.BlockSpec((1, c), lambda i, *_: (0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((1, c), jnp.float32),
+            interpret=interpret,
+        )(*common_args)
+
+        outs = pl.pallas_call(
+            functools.partial(_bwd2_kernel, tile_n=tile_n, nonlinear=nonlinear),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=grid,
+                in_specs=_common_in_specs(k, c) + [
+                    pl.BlockSpec((1, c), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM)],
+                out_specs=(
+                    pl.BlockSpec((tile_n, k), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((d, k), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, d), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((d, d), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, d), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((c, d), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((d, k), jnp.float32),
+                    pltpu.VMEM((1, d), jnp.float32),
+                    pltpu.VMEM((d, d), jnp.float32),
+                    pltpu.VMEM((1, d), jnp.float32),
+                    pltpu.VMEM((c, d), jnp.float32),
+                ],
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((n, k), jnp.float32),
+                jax.ShapeDtypeStruct((d, k), jnp.float32),
+                jax.ShapeDtypeStruct((1, d), jnp.float32),
+                jax.ShapeDtypeStruct((d, d), jnp.float32),
+                jax.ShapeDtypeStruct((1, d), jnp.float32),
+                jax.ShapeDtypeStruct((c, d), jnp.float32),
+            ),
+            interpret=interpret,
+        )(*common_args, s_red)
+        df, dw0, db0, dw2, db2, dqm = outs
+        return df, dw0, db0[0], dw2, db2[0], dqm
+
+    @jax.custom_vjp
+    def pool(feats, w0, b0, w2, b2, q_max, n_valid_arr):
+        out, _, _ = _run_fwd(feats, w0, b0, w2, b2, q_max, n_valid_arr)
+        return out
+
+    def pool_fwd(feats, w0, b0, w2, b2, q_max, n_valid_arr):
+        out, m_stat, s_stat = _run_fwd(feats, w0, b0, w2, b2, q_max, n_valid_arr)
+        return out, (feats, w0, b0, w2, b2, q_max, n_valid_arr, m_stat, s_stat)
+
+    def pool_bwd(res, db):
+        feats, w0, b0, w2, b2, q_max, n_valid_arr, m_stat, s_stat = res
+        df, dw0, db0, dw2, db2, dqm = _run_bwd(
+            feats, w0, b0, w2, b2, q_max, n_valid_arr, m_stat, s_stat, db)
+        dn = np.zeros(n_valid_arr.shape, dtype=jax.dtypes.float0)
+        return df, dw0, db0, dw2, db2, dqm, dn
+
+    pool.defvjp(pool_fwd, pool_bwd)
+    return pool
 
 
 def fused_bag_forward(params, feats, n_valid, *, tile_n: int = 2048,
