@@ -90,3 +90,41 @@ def test_streaming_backward_trains(rng):
         params = [p - 0.5 * g for p, g in zip(params, grads)]
     l1 = float(loss(*params))
     assert l1 < l0
+
+
+def test_fused_bag_train_step(rng):
+    """The full dual-objective training step through the fused kernels
+    matches the standard BagTrainer step's loss and reduces it."""
+    from tpumil.models import dsmil as dsmil_mod
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.ops.dsmil_pallas import make_fused_bag_train_step
+    from tpumil.ops.losses import dual_stream_loss
+    from tpumil.train.optim import adam_torch
+
+    cfg = DSMILConfig(feats_size=64, num_classes=1)
+    params = dsmil_mod.init_params(jax.random.PRNGKey(0), cfg)
+    opt = adam_torch(betas=(0.5, 0.9), weight_decay=1e-3)
+    opt_state = opt.init(params)
+    step = make_fused_bag_train_step(cfg, opt, tile_n=128, interpret=True)
+
+    n, n_valid = 256, 200
+    feats = np.zeros((n, 64), np.float32)
+    feats[:n_valid] = rng.standard_normal((n_valid, 64))
+    feats[:20] += 2.0  # witness signal
+    label = jnp.asarray([1.0])
+    nv = jnp.asarray([n_valid], jnp.int32)
+
+    # loss of the first step must equal the XLA path's loss on the same bag
+    mask = jnp.arange(n) < n_valid
+    c, bag_logits, _, _ = dsmil_mod.forward(params, jnp.asarray(feats),
+                                            mask)
+    want = float(dual_stream_loss(
+        bag_logits, dsmil_mod.max_instance_logits(c, mask), label))
+
+    p, s, loss0 = step(params, opt_state, jnp.asarray(feats), nv, label,
+                       jnp.asarray(1e-3))
+    np.testing.assert_allclose(float(loss0), want, rtol=1e-4)
+    for _ in range(15):
+        p, s, loss = step(p, s, jnp.asarray(feats), nv, label,
+                          jnp.asarray(1e-3))
+    assert float(loss) < float(loss0)

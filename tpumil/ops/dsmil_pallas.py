@@ -371,6 +371,50 @@ def make_trainable_pool(tile_n: int = 2048, nonlinear: bool = True,
     return pool
 
 
+def make_fused_bag_train_step(cfg, optimizer, *, tile_n: int = 1024,
+                              pos_weight=None, interpret: bool = False):
+    """Giant-bag training: one Adam step per bag with the attention pooling
+    (forward AND backward) running fused — O(tile) activation memory, so a
+    single chip trains on bags far beyond what materializing Q/A allows.
+
+    Returns ``step(params, opt_state, feats [N, K] (N % tile_n == 0),
+    n_valid, label, lr) -> (params, opt_state, loss)`` computing the
+    reference dual objective (train_tcga.py:68-71). Requires nonlinear q and
+    passing_v=False (the reference defaults).
+    """
+    from tpumil.models.dsmil import apply_q, instance_logits
+    from tpumil.ops.losses import dual_stream_loss
+    from tpumil.ops.masked import masked_argmax, masked_max
+
+    assert cfg.nonlinear and not cfg.passing_v
+    pool = make_trainable_pool(tile_n=tile_n, nonlinear=True,
+                               interpret=interpret)
+
+    def loss_fn(params, feats, n_valid_arr, label):
+        n = feats.shape[0]
+        mask = jnp.arange(n) < n_valid_arr[0]
+        c_logits = instance_logits(params, feats)
+        crit = masked_argmax(c_logits, mask, axis=0)
+        m_feats = feats[crit]
+        q_max = apply_q(params, m_feats)
+        q = params["q"]
+        bemb = pool(feats, q["w0"], q["b0"], q["w2"], q["b2"], q_max,
+                    n_valid_arr)
+        bag_logits = jnp.einsum("ck,dck->d", bemb, params["fcc"]["w"]) \
+            + params["fcc"]["b"]
+        max_logits = masked_max(c_logits, mask, axis=0)
+        return dual_stream_loss(bag_logits, max_logits, label, pos_weight)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, feats, n_valid_arr, label, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats, n_valid_arr,
+                                                  label)
+        params, opt_state = optimizer.step(params, opt_state, grads, lr)
+        return params, opt_state, loss
+
+    return step
+
+
 def fused_bag_forward(params, feats, n_valid, *, tile_n: int = 2048,
                       interpret: bool = False,
                       feats_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
