@@ -114,3 +114,21 @@ def test_abmil_model_trains(rng):
     assert loss < loss0
     scores, _ = trainer.predict(params, bags)
     assert scores.shape == (12, 1)
+
+
+def test_resume_skips_completed_folds(tmp_path, rng):
+    """Crash recovery: a second run with resume=True must skip completed
+    folds and produce the same fold metrics."""
+    bags = make_separable_bags(rng, num_bags=20, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    save_dir = str(tmp_path / "w")
+    cfg = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=4, lr=1e-3,
+                         stop_epochs=2, verbose=False, seed=0, resume=True)
+    out1 = run_5fold_cv(bags, cfg, log=lambda s: None, save_dir=save_dir)
+    logs = []
+    out2 = run_5fold_cv(bags, cfg, log=logs.append, save_dir=save_dir)
+    assert sum("Resuming fold" in l for l in logs) == 5
+    assert not any("Starting CV fold" in l for l in logs)
+    assert out2["mean_accuracy"] == pytest.approx(out1["mean_accuracy"])
+    for f1, f2 in zip(out1["folds"], out2["folds"]):
+        assert f1["thresholds"] == pytest.approx(f2["thresholds"])

@@ -126,6 +126,9 @@ class WSITrainConfig:
     # cadence (train_tcga.py:274-287). Larger values fuse N epochs into one
     # device dispatch per bucket — much faster when dispatch latency is high.
     eval_interval: int = 1
+    # Skip folds whose completion marker exists in save_dir (crash recovery;
+    # the reference has no resume at all, SURVEY.md section 5).
+    resume: bool = False
 
 
 def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
@@ -265,11 +268,16 @@ def run_5fold_cv(bags: List[Bag], cfg: WSITrainConfig,
     store = _global_store(bags, cfg)
     fold_results = []
     for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(bags), 5)):
+        resumed = _try_resume_fold(cfg, save_dir, fold, log)
+        if resumed is not None:
+            fold_results.append(resumed)
+            continue
         log(f"Starting CV fold {fold}.")
         save_cb = _fold_saver(save_dir, fold) if save_dir else None
         tr, te = _fold_views(store, bags, tr_idx, te_idx)
         best = train_fold(trainer, tr, te, cfg, rng,
                           jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
+        _mark_fold_done(save_dir, fold, best)
         fold_results.append(best)
     mean_ac = float(np.mean([b["acc"] for b in fold_results]))
     mean_auc = np.mean(np.array([b["aucs"] for b in fold_results]), axis=0)
@@ -340,11 +348,16 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
     fold_models = []
     fold_results = []
     for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(rest), 5)):
-        log(f"Starting CV fold {fold}.")
-        save_cb = _fold_saver(save_dir, fold) if save_dir else None
-        tr, te = _fold_views(store, bags, rest_idx[tr_idx], rest_idx[te_idx])
-        best = train_fold(trainer, tr, te, cfg, rng,
-                          jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
+        resumed = _try_resume_fold(cfg, save_dir, fold, log)
+        if resumed is None:
+            log(f"Starting CV fold {fold}.")
+            save_cb = _fold_saver(save_dir, fold) if save_dir else None
+            tr, te = _fold_views(store, bags, rest_idx[tr_idx], rest_idx[te_idx])
+            best = train_fold(trainer, tr, te, cfg, rng,
+                              jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
+            _mark_fold_done(save_dir, fold, best)
+        else:
+            best = resumed
         fold_models.append((best["params"], best["thresholds"]))
         fold_results.append(best)
 
@@ -381,6 +394,39 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
             with open(os.path.join(save_dir, "test", f"mil_threshold_fold_{i}.json"), "w") as f:
                 json.dump([float(t) for t in thresholds], f)
     return out
+
+
+def _fold_marker(save_dir: str, fold: int) -> str:
+    return os.path.join(save_dir, f"fold_{fold}.done.json")
+
+
+def _try_resume_fold(cfg: WSITrainConfig, save_dir: Optional[str], fold: int,
+                     log) -> Optional[dict]:
+    """Load a completed fold's best model + metrics if its marker exists."""
+    if not (cfg.resume and save_dir):
+        return None
+    marker = _fold_marker(save_dir, fold)
+    pth = os.path.join(save_dir, f"fold_{fold}.pth")
+    if not (os.path.exists(marker) and os.path.exists(pth)):
+        return None
+    from tpumil.io import torch_ckpt
+
+    with open(marker) as f:
+        meta = json.load(f)
+    params, _ = torch_ckpt.load_aggregator_pth(pth)
+    log(f"Resuming fold {fold} from {pth} (acc {meta['acc']:.4f}).")
+    return {"score": metrics.current_score(meta["acc"], meta["aucs"]),
+            "params": params, "thresholds": meta["thresholds"],
+            "acc": meta["acc"], "aucs": meta["aucs"]}
+
+
+def _mark_fold_done(save_dir: Optional[str], fold: int, best: dict) -> None:
+    if not save_dir:
+        return
+    os.makedirs(save_dir, exist_ok=True)
+    with open(_fold_marker(save_dir, fold), "w") as f:
+        json.dump({"acc": best["acc"], "aucs": list(map(float, best["aucs"])),
+                   "thresholds": list(map(float, best["thresholds"]))}, f)
 
 
 def _fold_saver(save_dir: str, fold: int):
