@@ -37,6 +37,11 @@ def main(argv=None):
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     parser.add_argument("--cache_dir", default="temp_train", type=str)
     parser.add_argument("--save_root", default="weights", type=str)
+    parser.add_argument("--eval_interval", default=1, type=int,
+                        help="Evaluate every N epochs; N>1 fuses N epochs "
+                             "into one device dispatch [1]")
+    parser.add_argument("--resume", action="store_true",
+                        help="Skip folds already completed in the save dir")
     args = parser.parse_args(argv)
     if args.eval_scheme not in ("5-fold-cv", "5-time-train+valid+test",
                                 "5-fold-cv-standalone-test"):
@@ -72,7 +77,8 @@ def main(argv=None):
         weight_decay=args.weight_decay, split=args.split,
         dropout_patch=args.dropout_patch, dropout_node=args.dropout_node,
         nonlinear=bool(args.non_linearity), average=args.average,
-        seed=args.seed, model=args.model)
+        seed=args.seed, model=args.model, eval_interval=args.eval_interval,
+        resume=args.resume)
 
     save_dir = os.path.join(args.save_root, datetime.date.today().strftime("%Y%m%d"))
     if args.eval_scheme == "5-fold-cv":
