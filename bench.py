@@ -87,16 +87,18 @@ def bench_aggregator_train(n_bags: int = 256, n_inst: int = 1024,
     params, opt_state = trainer.init(jax.random.PRNGKey(0))
     store = DeviceBagStore(bags)  # dataset -> HBM, once
 
-    params, opt_state, _ = trainer.train_epoch(params, opt_state, store, 1e-4, rng)
-    jax.block_until_ready(jax.tree.leaves(params)[0])
+    lrs = [1e-4] * 5  # 5 epochs fused into one dispatch per bucket
+    params, opt_state, losses = trainer.train_epochs(params, opt_state, store, lrs, rng)
+    _ = float(losses[-1])
 
     best = 0.0
     for _ in range(repeats):
         t0 = time.perf_counter()
-        params, opt_state, loss = trainer.train_epoch(params, opt_state, store, 1e-4, rng)
-        _ = float(loss)  # force full execution
+        params, opt_state, losses = trainer.train_epochs(params, opt_state, store,
+                                                         lrs, rng)
+        _ = float(losses[-1])  # force full execution
         dt = time.perf_counter() - t0
-        best = max(best, n_bags / dt)
+        best = max(best, len(lrs) * n_bags / dt)
     return {
         "metric": "aggregator_train_throughput",
         "value": round(best, 2),
