@@ -128,3 +128,38 @@ def test_fused_bag_train_step(rng):
         p, s, loss = step(p, s, jnp.asarray(feats), nv, label,
                           jnp.asarray(1e-3))
     assert float(loss) < float(loss0)
+
+
+def test_trainable_pool_vmaps(rng):
+    """Pallas auto-batching: vmap over bags matches per-bag calls for both
+    the forward and the streaming backward."""
+    from tpumil.ops.dsmil_pallas import make_trainable_pool
+
+    b, n, k, c, d = 3, 256, 64, 1, ATTN_DIM
+    pool = make_trainable_pool(tile_n=128, interpret=True)
+    feats = jnp.asarray(rng.standard_normal((b, n, k)).astype(np.float32))
+    w0 = jnp.asarray(rng.standard_normal((d, k)).astype(np.float32) * 0.1)
+    b0 = jnp.zeros((d,))
+    w2 = jnp.asarray(rng.standard_normal((d, d)).astype(np.float32) * 0.1)
+    b2 = jnp.zeros((d,))
+    qm = jnp.asarray(rng.standard_normal((b, c, d)).astype(np.float32))
+    nv = jnp.asarray([[200], [256], [100]], jnp.int32)
+
+    vm = jax.vmap(pool, in_axes=(0, None, None, None, None, 0, 0))
+    out_v = vm(feats, w0, b0, w2, b2, qm, nv)
+    for i in range(b):
+        out_i = pool(feats[i], w0, b0, w2, b2, qm[i], nv[i])
+        np.testing.assert_allclose(np.asarray(out_v[i]), np.asarray(out_i),
+                                   rtol=1e-5, atol=1e-6)
+
+    def loss_v(f):
+        return jnp.sum(vm(f, w0, b0, w2, b2, qm, nv) ** 2)
+
+    def loss_1(f):
+        return sum(jnp.sum(pool(f[i], w0, b0, w2, b2, qm[i], nv[i]) ** 2)
+                   for i in range(b))
+
+    gv = jax.grad(loss_v)(feats)
+    g1 = jax.grad(loss_1)(feats)
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(g1), rtol=1e-4,
+                               atol=1e-6)
