@@ -134,3 +134,36 @@ def test_open_slide_fallbacks(tmp_path, rng):
     slide = open_slide(png)
     assert slide.level_count == 1
     np.testing.assert_array_equal(slide.read_region((0, 0), 0, (8, 8)), img[:8, :8])
+
+
+def test_deepzoom_overlap_geometry(rng):
+    """Tiles with overlap: interior tiles grow by overlap on shared edges
+    (OpenSlide DeepZoom semantics)."""
+    img = _make_synthetic_slide(rng, w=512, h=512)
+    slide = ImageBackend(img)
+    dz = DeepZoom(slide, tile_size=128, overlap=8)
+    top = dz.level_count - 1
+    assert dz.level_tiles(top) == (4, 4)
+    # corner tile: overlap only on the two interior sides
+    t00 = dz.get_tile(top, (0, 0))
+    assert t00.shape == (128 + 8, 128 + 8, 3)
+    # center tile: overlap on all four sides
+    t11 = dz.get_tile(top, (1, 1))
+    assert t11.shape == (128 + 16, 128 + 16, 3)
+    np.testing.assert_array_equal(
+        t11, img[128 - 8:256 + 8, 128 - 8:256 + 8])
+
+
+def test_milnet_facade(tmp_path, rng):
+    from tpumil.models.milnet import MILNet
+
+    net = MILNet.create(feats_size=32, num_classes=2, seed=1)
+    feats = rng.standard_normal((17, 32)).astype(np.float32)
+    c, bag, A, B = net(feats)
+    assert bag.shape == (2,)
+    s = net.score(feats)
+    assert s.shape == (2,) and np.all((0 <= s) & (s <= 1))
+    path = str(tmp_path / "agg.pth")
+    net.save_pth(path)
+    net2 = MILNet.from_pth(path)
+    np.testing.assert_allclose(net2.score(feats), s, atol=1e-6)
