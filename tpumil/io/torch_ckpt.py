@@ -54,7 +54,9 @@ def load_state_dict(path: str) -> "collections.OrderedDict":
 def save_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
     torch = _torch()
     tensors = collections.OrderedDict(
-        (k, torch.from_numpy(np.ascontiguousarray(np.asarray(v, dtype=np.float32))))
+        # .copy() guarantees a writable buffer (jax arrays export read-only
+        # views, which torch warns about)
+        (k, torch.from_numpy(np.asarray(v, dtype=np.float32).copy()))
         for k, v in sd.items()
     )
     torch.save(tensors, path)

@@ -18,11 +18,14 @@ def select_platform(device: str = "auto") -> None:
     import jax
 
     if device == "tpu":
-        # honour an externally configured TPU platform name (e.g. 'axon')
-        plat = os.environ.get("JAX_PLATFORMS") or "tpu"
+        # If the environment already points at an accelerator platform
+        # (e.g. a TPU plugin like 'axon'), leave it alone — forcing the name
+        # through jax.config can race the plugin's registration. Only undo an
+        # explicit cpu override.
+        plat = os.environ.get("JAX_PLATFORMS", "")
         if plat == "cpu":
-            plat = "tpu"
-        jax.config.update("jax_platforms", plat)
+            os.environ["JAX_PLATFORMS"] = ""
+            jax.config.update("jax_platforms", None)
     else:
         os.environ["JAX_PLATFORMS"] = device
         jax.config.update("jax_platforms", device)
