@@ -1,0 +1,144 @@
+"""Reproduce every number in docs/PERF.md on the attached TPU.
+
+    python benchmarks/run_all.py            # all suites
+    python benchmarks/run_all.py feats agg  # a subset
+
+Prints one JSON line per benchmark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def bench_feats():
+    sys.path.insert(0, ".")
+    from bench import bench_feature_extraction
+
+    return bench_feature_extraction()
+
+
+def bench_agg():
+    sys.path.insert(0, ".")
+    from bench import bench_aggregator_train
+
+    return bench_aggregator_train()
+
+
+def bench_pallas():
+    import jax
+    import jax.numpy as jnp
+
+    from tpumil.models import dsmil
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.ops.dsmil_pallas import fused_bag_forward
+
+    cfg = DSMILConfig(feats_size=512, num_classes=1)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    n, reps = 65536, 32
+    feats = jnp.asarray(rng.standard_normal((n, 512)), jnp.float32)
+    mask = jnp.ones((n,), bool)
+
+    def many(fn):
+        @jax.jit
+        def run(p, f):
+            def body(carry, _):
+                f2 = jax.lax.optimization_barrier(f)
+                return carry, jnp.sum(fn(p, f2))
+            _, outs = jax.lax.scan(body, 0.0, None, length=reps)
+            return jnp.sum(outs)
+        return run
+
+    xla = many(lambda p, f: dsmil.forward(p, f, mask)[1])
+    pal = many(lambda p, f: fused_bag_forward(p, f, n, tile_n=2048)[0])
+    out = {}
+    for name, fn in (("xla", xla), ("pallas", pal)):
+        _ = float(fn(params, feats))
+        t0 = time.perf_counter()
+        _ = float(fn(params, feats))
+        out[name + "_ms"] = round((time.perf_counter() - t0) / reps * 1000, 3)
+    return {"metric": "fused_pool_forward_65k", "value": out["pallas_ms"],
+            "unit": "ms/bag (N=65536)", "vs_baseline": round(
+                out["xla_ms"] / out["pallas_ms"], 2)}
+
+
+def bench_pallas_train():
+    import jax
+    import jax.numpy as jnp
+
+    from tpumil.models import dsmil
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.ops.dsmil_pallas import make_fused_bag_train_step
+    from tpumil.train.optim import adam_torch
+
+    cfg = DSMILConfig(feats_size=512, num_classes=1)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    opt = adam_torch(betas=(0.5, 0.9), weight_decay=1e-3)
+    opt_state = opt.init(params)
+    step = make_fused_bag_train_step(cfg, opt, tile_n=1024)
+    rng = np.random.default_rng(0)
+    n = 65536
+    feats = jnp.asarray(rng.standard_normal((n, 512)), jnp.float32)
+    nv = jnp.asarray([n], jnp.int32)
+    label = jnp.asarray([1.0])
+    lr = jnp.asarray(1e-4)
+    params, opt_state, loss = step(params, opt_state, feats, nv, label, lr)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        params, opt_state, loss = step(params, opt_state, feats, nv, label, lr)
+    _ = float(loss)
+    ms = (time.perf_counter() - t0) / reps * 1000
+    return {"metric": "fused_bag_train_step_65k", "value": round(ms, 2),
+            "unit": "ms (fwd + streaming bwd + Adam)", "vs_baseline": None}
+
+
+def bench_simclr():
+    import jax
+    import jax.numpy as jnp
+
+    from tpumil.models.simclr import SimCLRConfig
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    tr = SimCLRTrainer(SimCLRConfig(),
+                       SimCLRTrainConfig(batch_size=256, input_size=224))
+    p, s = tr.init(jax.random.PRNGKey(0))
+    imgs = jax.jit(lambda k: jax.random.uniform(
+        k, (256, 224, 224, 3), jnp.float32))(jax.random.PRNGKey(1))
+    key = jax.random.PRNGKey(2)
+    lr = jnp.asarray(1e-5)
+    p, s, loss = tr._train_step(p, s, key, imgs, lr)
+    _ = float(loss)
+    t0 = time.perf_counter()
+    reps = 10
+    for _ in range(reps):
+        key, sub = jax.random.split(key)
+        p, s, loss = tr._train_step(p, s, sub, imgs, lr)
+    _ = float(loss)
+    dt = (time.perf_counter() - t0) / reps
+    return {"metric": "simclr_step_throughput", "value": round(256 / dt, 1),
+            "unit": "patches/sec (B=256@224, two on-device views, fwd+bwd)",
+            "vs_baseline": round(256 / dt / 1250.0, 2)}
+
+
+SUITES = {"feats": bench_feats, "agg": bench_agg, "pallas": bench_pallas,
+          "pallas_train": bench_pallas_train, "simclr": bench_simclr}
+
+
+def main():
+    wanted = sys.argv[1:] or list(SUITES)
+    for name in wanted:
+        print(json.dumps(SUITES[name]()), flush=True)
+
+
+if __name__ == "__main__":
+    main()
