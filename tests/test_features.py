@@ -158,3 +158,24 @@ def test_tree_feats_fusion(tmp_path, rng):
 
     with pytest.raises(NotImplementedError):
         compute_tree_feats(dirs, ex, ex, str(tmp_path / "x"), fusion="bogus")
+
+
+def test_embedder_layout_autodetect(tmp_path):
+    """load_simclr_checkpoint(strip_head=None) must accept BOTH a raw SimCLR
+    checkpoint (projection head present) and a surgered embedder export
+    (backbone only) — the attention_map CLI crashed on the latter before."""
+    from tpumil.io import torch_ckpt
+
+    cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    net, sd = _simclr_style_checkpoint()
+    raw = str(tmp_path / "raw.pth")
+    torch.save(sd, raw)
+    p_raw = embedder.load_simclr_checkpoint(raw, cfg)  # auto: strips 4
+
+    surgered = str(tmp_path / "embedder.pth")
+    torch_ckpt.save_state_dict(embedder.export_embedder_state_dict(p_raw, cfg),
+                               surgered)
+    p_surg = embedder.load_simclr_checkpoint(surgered, cfg)  # auto: no strip
+    for k in p_raw["backbone"]:
+        np.testing.assert_allclose(np.asarray(p_raw["backbone"][k]),
+                                   np.asarray(p_surg["backbone"][k]), atol=1e-6)

@@ -167,3 +167,19 @@ def test_milnet_facade(tmp_path, rng):
     net.save_pth(path)
     net2 = MILNet.from_pth(path)
     np.testing.assert_allclose(net2.score(feats), s, atol=1e-6)
+
+
+def test_milnet_average_matches_trainer(rng):
+    """MILNet.score(average=True) must be on the trainer's threshold scale
+    (undivided sigmoid sum, train_tcga.py:107)."""
+    from tpumil.models.milnet import MILNet
+    from tpumil.data.bags import Bag
+    from tpumil.train.trainer import BagTrainer
+
+    net = MILNet.create(feats_size=16, num_classes=1, seed=0)
+    feats = rng.standard_normal((9, 16)).astype(np.float32)
+    trainer = BagTrainer(net.cfg)
+    s_tr, _ = trainer.predict(net.params, [Bag(feats, np.ones(1, np.float32))],
+                              average=True)
+    s_net = net.score(feats, average=True)
+    np.testing.assert_allclose(s_net, s_tr[0], rtol=1e-5, atol=1e-6)

@@ -57,9 +57,9 @@ def main(argv=None):
         from tpumil.train.simclr_trainer import SimCLRTrainer
 
         print("== stage: simclr")
-        level = "low" if len(cfg.magnifications) > 1 else "low"
-        paths = generate_manifest(cfg.wsi_root, cfg.dataset, level,
-                                  1 if len(cfg.magnifications) > 1 else 0)
+        multiscale = 1 if len(cfg.magnifications) > 1 else 0
+        # level is only consulted for multiscale manifests (simclr/run.py:8-19)
+        paths = generate_manifest(cfg.wsi_root, cfg.dataset, "low", multiscale)
         if not paths:
             raise SystemExit("no patches found; run the tile stage first")
         model_cfg = SimCLRConfig(base_model=cfg.embedder.backbone

@@ -60,7 +60,9 @@ def decode_patch(path: str, patch_size: Optional[int] = None) -> np.ndarray:
     with Image.open(path) as im:
         im = im.convert("RGB")
         if patch_size is not None and im.size != (patch_size, patch_size):
-            im = im.resize((patch_size, patch_size))
+            # bilinear, matching the native decode path (tileservice.cc) so
+            # features are identical with or without the .so built
+            im = im.resize((patch_size, patch_size), Image.BILINEAR)
         arr = np.asarray(im, dtype=np.float32) / 255.0
     return arr
 

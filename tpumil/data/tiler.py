@@ -52,6 +52,16 @@ class TileStats:
     errors: int = 0
     seconds: float = 0.0
 
+    def __post_init__(self):
+        import threading
+
+        # counters are bumped from pool workers; unsynchronized += races
+        self._lock = threading.Lock()
+
+    def bump(self, field: str, delta: int = 1) -> None:
+        with self._lock:
+            setattr(self, field, getattr(self, field) + delta)
+
     @property
     def tiles_per_sec(self) -> float:
         total = self.written + self.filtered
@@ -88,13 +98,13 @@ def _process_tile(dz: DeepZoom, dz_level: int, addr: Tuple[int, int],
             tile = dz.get_tile(dz_level, addr)
             if edge_energy(tile, cfg.tile_size) > cfg.background_threshold:
                 _save_tile(tile, out_path, cfg)
-                stats.written += 1
+                stats.bump("written")
                 return True
-            stats.filtered += 1
+            stats.bump("filtered")
             return False
         except Exception as e:  # retry transient read failures, then log
             if attempt == cfg.max_retries:
-                stats.errors += 1
+                stats.bump("errors")
                 print(f"tile {addr} at dz level {dz_level} failed after "
                       f"{attempt + 1} attempts: {e}")
                 return False
@@ -181,7 +191,7 @@ def _tile_pyramid(dz: DeepZoom, plan, mag_levels, bag_path: str,
                 low_file = os.path.join(bag_path, f"{lx}_{ly}.{cfg.format}")
                 if os.path.exists(low_file):
                     os.remove(low_file)
-                    stats.written -= 1
+                    stats.bump("written", -1)
                 if os.path.isdir(sub):
                     try:
                         os.rmdir(sub)

@@ -84,30 +84,34 @@ def embed_slide_streaming(slide_path: str, extractor: FeatureExtractor,
         q: "queue.Queue" = queue.Queue(maxsize=4)
 
         def producer():
-            batch: List[np.ndarray] = []
-            pos: List[Tuple[int, int]] = []
-            with ThreadPoolExecutor(cfg.workers) as pool:
-                for addr, tile in pool.map(fetch, addrs):
-                    if tile is None:
-                        continue
-                    if write_patch_dir is not None:
-                        from PIL import Image
+            try:
+                batch: List[np.ndarray] = []
+                pos: List[Tuple[int, int]] = []
+                with ThreadPoolExecutor(cfg.workers) as pool:
+                    for addr, tile in pool.map(fetch, addrs):
+                        if tile is None:
+                            continue
+                        if write_patch_dir is not None:
+                            from PIL import Image
 
-                        os.makedirs(write_patch_dir, exist_ok=True)
-                        Image.fromarray(tile).save(
-                            os.path.join(write_patch_dir,
-                                         f"{addr[0]}_{addr[1]}.{cfg.format}"),
-                            quality=cfg.quality)
-                    batch.append(tile.astype(np.float32) / 255.0)
-                    pos.append(addr)
-                    if len(batch) == batch_size:
-                        q.put((np.stack(batch), pos))
-                        batch, pos = [], []
-            if batch:
-                pad = np.zeros((batch_size - len(batch),) + batch[0].shape,
-                               np.float32)
-                q.put((np.concatenate([np.stack(batch), pad]), pos))
-            q.put(None)
+                            os.makedirs(write_patch_dir, exist_ok=True)
+                            Image.fromarray(tile).save(
+                                os.path.join(write_patch_dir,
+                                             f"{addr[0]}_{addr[1]}.{cfg.format}"),
+                                quality=cfg.quality)
+                        batch.append(tile.astype(np.float32) / 255.0)
+                        pos.append(addr)
+                        if len(batch) == batch_size:
+                            q.put((np.stack(batch), pos))
+                            batch, pos = [], []
+                if batch:
+                    pad = np.zeros((batch_size - len(batch),) + batch[0].shape,
+                                   np.float32)
+                    q.put((np.concatenate([np.stack(batch), pad]), pos))
+            except Exception as e:  # surface errors; never strand the consumer
+                q.put(e)
+            finally:
+                q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -116,6 +120,8 @@ def embed_slide_streaming(slide_path: str, extractor: FeatureExtractor,
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, Exception):
+                raise item
             arr, pos = item
             feats = extractor.embed_arrays(arr)
             feats_parts.append(feats[:len(pos)])

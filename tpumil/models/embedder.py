@@ -64,19 +64,27 @@ def forward(params: Dict, x, cfg: EmbedderConfig) -> Tuple[jnp.ndarray, jnp.ndar
 
 
 def load_simclr_checkpoint(path: str, cfg: EmbedderConfig,
-                           strip_head: bool = True) -> Dict:
+                           strip_head: Optional[bool] = None) -> Dict:
     """Load a SimCLR ``model.pth`` (or a re-exported ``embedder*.pth``) into
     embedder params via the positional surgery. The linear head is zeroed
     (it is untrained in the reference too — load_state_dict strict=False
-    leaves it at random init, compute_feats.py:191)."""
+    leaves it at random init, compute_feats.py:191).
+
+    ``strip_head=None`` auto-detects the layout: a raw SimCLR checkpoint has
+    4 extra projection-MLP entries beyond the backbone's parameter count and
+    gets them stripped; an already-surgered embedder export (exactly the
+    backbone tensors) is used as-is.
+    """
     from tpumil.io import torch_ckpt
 
     sd = torch_ckpt.load_state_dict(path)
+    rcfg = cfg.resnet_cfg
+    n_params = len(resnet.param_names(rcfg))
+    if strip_head is None:
+        strip_head = len(sd) > n_params
     if strip_head:
         sd = torch_ckpt.strip_projection_head(sd)
     values = list(sd.values())
-    rcfg = cfg.resnet_cfg
-    n_params = len(resnet.param_names(rcfg))
     backbone = resnet.load_positional(values[:n_params], rcfg)
     return {
         "backbone": backbone,

@@ -60,10 +60,14 @@ class MILNet:
             compute_dtype=self.cfg.compute_dtype)
 
     def score(self, feats, mask=None, *, average: bool = False) -> np.ndarray:
+        """Sigmoid bag scores. ``average`` adds the sigmoid of the max
+        instance logit WITHOUT dividing — matching the trainer's --average
+        semantics (train_tcga.py:107) so saved optimal thresholds transfer.
+        (testing_tcga.py:87 divides by 2; divide yourself for that scale.)"""
         mil = get_model(self.model)
         c, bag_logits, _, _ = self(feats, mask)
         s = jax.nn.sigmoid(bag_logits)
         if average:
-            s = (s + jax.nn.sigmoid(mil.max_instance_logits(
-                c, None if mask is None else jnp.asarray(mask)))) / 2.0
+            s = s + jax.nn.sigmoid(mil.max_instance_logits(
+                c, None if mask is None else jnp.asarray(mask)))
         return np.asarray(s)

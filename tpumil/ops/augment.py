@@ -109,15 +109,16 @@ def _gaussian_blur(key, img, kernel_size: int = 13):
 def augment_one(key, img, out_size: int = 224, strength: float = 1.0,
                 blur_kernel: int = 13):
     """One SimCLR view of one image ([H, W, 3] float in [0, 1])."""
-    keys = jax.random.split(key, 6)
+    keys = jax.random.split(key, 7)
     img = _random_resized_crop(keys[0], img, out_size)
     img = jnp.where(jax.random.bernoulli(keys[1]), img[:, ::-1, :], img)
     img = jnp.where(jax.random.bernoulli(keys[2], 0.8),
                     _color_jitter(keys[3], img, strength), img)
     img = jnp.where(jax.random.bernoulli(keys[4], 0.2),
                     jnp.broadcast_to(_rgb_to_gray(img), img.shape), img)
+    # independent keys for the apply coin and the sigma draw
     img = jnp.where(jax.random.bernoulli(keys[5], 0.5),
-                    _gaussian_blur(keys[5], img, blur_kernel), img)
+                    _gaussian_blur(keys[6], img, blur_kernel), img)
     return jnp.clip(img, 0.0, 1.0)
 
 

@@ -58,7 +58,14 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
     rng = np.random.default_rng(cfg.seed)
     bags = shuffle_with_class_coverage(list(bags), cfg.cv_fold, rng)
     lr_of = cosine_annealing_lr(cfg.lr, cfg.num_epochs, 0.0)
+    # ship the dataset to device once; folds are device-side gathers
+    global_store = None
+    if cfg.use_device_store:
+        from tpumil.data.device_store import DeviceBagStore
+
+        global_store = DeviceBagStore(bags)
     accs = []
+    indices = list(range(len(bags)))
     for k in range(cfg.cv_fold):
         train_bags, test_bags = cross_validation_split(bags, cfg.cv_fold, k)
         pos_weight = compute_pos_weight(train_bags)
@@ -75,11 +82,10 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
         params, opt_state = trainer.init(jax.random.PRNGKey(cfg.seed + 1000 * k))
         best_acc = 0.0
         labels = np.asarray([float(b.label[0]) for b in test_bags])
-        if cfg.use_device_store:
-            from tpumil.data.device_store import DeviceBagStore
-
-            train_bags = DeviceBagStore(train_bags)
-            test_bags = DeviceBagStore(test_bags)
+        if global_store is not None:
+            tr_idx, te_idx = cross_validation_split(indices, cfg.cv_fold, k)
+            train_bags = global_store.subset(tr_idx)
+            test_bags = global_store.subset(te_idx)
         for epoch in range(cfg.num_epochs):
             params, opt_state, train_loss = trainer.train_epoch(
                 params, opt_state, train_bags, lr_of(epoch), rng)

@@ -178,9 +178,12 @@ class SimCLRTrainer:
                     f"patches/sec (2 views each)")
 
             if epoch % cfg.eval_every_n_epochs == 0 and valid_paths:
-                v_batches = max(1, len(valid_paths) // cfg.batch_size)
+                # full batches only: zero-padded fake images would dominate
+                # NT-Xent and corrupt best-checkpoint selection
+                v_bs = min(cfg.batch_size, len(valid_paths))
+                v_batches = len(valid_paths) // v_bs
                 v_loader = PatchBatchLoader(
-                    valid_paths[:v_batches * cfg.batch_size], cfg.batch_size,
+                    valid_paths[:v_batches * v_bs], v_bs,
                     cfg.input_size, cfg.num_workers)
                 losses = []
                 for images, n_valid, _ in v_loader:

@@ -78,9 +78,16 @@ class BagTrainer:
             self.optimizer = adam_torch(betas=(0.5, 0.9), weight_decay=0.0)
         pw = None if self.pos_weight is None else jnp.asarray(self.pos_weight)
 
-        def bag_loss(params, feats, mask, label):
+        # the v-stream Dropout only exists with passing_v (dsmil.py:34-39);
+        # note the reference's --dropout_node flag is itself a no-op upstream
+        # because train_tcga.py:237 never sets passing_v
+        v_dropout = self.cfg.dropout_v if self.cfg.passing_v else 0.0
+
+        def bag_loss(params, feats, mask, label, key):
             c, bag_logits, _, _ = mil.forward(
-                params, feats, mask, compute_dtype=self.cfg.compute_dtype)
+                params, feats, mask, compute_dtype=self.cfg.compute_dtype,
+                dropout_rng=key if v_dropout > 0.0 else None,
+                dropout_v=v_dropout)
             max_logits = mil.max_instance_logits(c, mask)
             return dual_stream_loss(bag_logits, max_logits, label, pw)
 
@@ -91,9 +98,10 @@ class BagTrainer:
             def step(carry, xs):
                 p, s = carry
                 f, m, y, key = xs
+                k_patch, k_v = jax.random.split(key)
                 if self.dropout_patch > 0.0:
-                    m = patch_dropout_mask(key, m, keep_frac)
-                loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y)
+                    m = patch_dropout_mask(k_patch, m, keep_frac)
+                loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y, k_v)
                 p, s = self.optimizer.step(p, s, grads, lr)
                 return (p, s), loss
 
@@ -108,9 +116,10 @@ class BagTrainer:
             f = jnp.take(feats, i, axis=0)
             m = jnp.take(mask, i, axis=0)
             y = jnp.take(labels, i, axis=0)
+            k_patch, k_v = jax.random.split(key)
             if self.dropout_patch > 0.0:
-                m = patch_dropout_mask(key, m, keep_frac)
-            loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y)
+                m = patch_dropout_mask(k_patch, m, keep_frac)
+            loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y, k_v)
             p2, s2 = self.optimizer.step(p, s, grads, lr)
             p = jax.tree.map(lambda a, b: jnp.where(real, a, b), p2, p)
             s = jax.tree.map(
