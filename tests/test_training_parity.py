@@ -99,7 +99,8 @@ def test_per_bag_training_trajectory_matches_torch(rng):
     for _ in range(3):
         params_j, opt_state, total = trainer._train_chunk(
             params_j, opt_state, jnp.asarray(feats_p), jnp.asarray(mask_p),
-            jnp.asarray(labels_p), jnp.asarray(lr, jnp.float32), keys)
+            jnp.asarray(labels_p), jnp.asarray(lr, jnp.float32), keys,
+            trainer._pw())
         jax_losses.append(float(total))
 
     torch_epoch_losses = [sum(torch_losses[e * 8:(e + 1) * 8]) for e in range(3)]

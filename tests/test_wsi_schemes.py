@@ -132,3 +132,39 @@ def test_resume_skips_completed_folds(tmp_path, rng):
     assert out2["mean_accuracy"] == pytest.approx(out1["mean_accuracy"])
     for f1, f2 in zip(out1["folds"], out2["folds"]):
         assert f1["thresholds"] == pytest.approx(f2["thresholds"])
+
+
+def test_abmil_scheme_saves_and_resumes(tmp_path, rng):
+    """--model abmil with a save dir must export, reload, and resume (was a
+    KeyError crash via the DSMIL-only checkpoint schema)."""
+    bags = make_separable_bags(rng, num_bags=15, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    save_dir = str(tmp_path / "w")
+    cfg = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=3, lr=1e-3,
+                         stop_epochs=2, verbose=False, seed=0, model="abmil",
+                         resume=True)
+    out1 = run_5fold_cv(bags, cfg, log=lambda s: None, save_dir=save_dir)
+    assert len(glob.glob(os.path.join(save_dir, "fold_*.pth"))) == 5
+    from tpumil.io import torch_ckpt
+    params, cfg2, model = torch_ckpt.load_mil_pth(
+        os.path.join(save_dir, "fold_0.pth"))
+    assert model == "abmil" and cfg2.feats_size == 16
+    logs = []
+    out2 = run_5fold_cv(bags, cfg, log=logs.append, save_dir=save_dir)
+    assert sum("Resuming fold" in l for l in logs) == 5
+
+
+def test_resume_rejects_different_config(tmp_path, rng):
+    """A marker written by a different experiment config must NOT be adopted."""
+    bags = make_separable_bags(rng, num_bags=15, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    save_dir = str(tmp_path / "w")
+    cfg1 = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=3, lr=1e-3,
+                          stop_epochs=2, verbose=False, seed=0, resume=True)
+    run_5fold_cv(bags, cfg1, log=lambda s: None, save_dir=save_dir)
+    cfg2 = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=3, lr=5e-4,
+                          stop_epochs=2, verbose=False, seed=1, resume=True)
+    logs = []
+    run_5fold_cv(bags, cfg2, log=logs.append, save_dir=save_dir)
+    assert not any("Resuming fold" in l for l in logs)
+    assert any("different" in l for l in logs)

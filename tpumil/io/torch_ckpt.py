@@ -147,6 +147,60 @@ def save_aggregator_pth(params: Dict[str, Any], path: str) -> None:
 
 
 # ---------------------------------------------------------------------------
+# ABMIL checkpoints (tpumil schema — the reference ships no abmil.py, so no
+# upstream schema exists; keys mirror the DSMIL naming style)
+# ---------------------------------------------------------------------------
+
+_ABMIL_KEYS = {
+    "i_classifier.fc.weight": ("i_fc", "w"), "i_classifier.fc.bias": ("i_fc", "b"),
+    "b_classifier.attention_v.weight": ("att_v", "w"),
+    "b_classifier.attention_v.bias": ("att_v", "b"),
+    "b_classifier.attention_u.weight": ("att_u", "w"),
+    "b_classifier.attention_u.bias": ("att_u", "b"),
+    "b_classifier.attention_w.weight": ("att_w", "w"),
+    "b_classifier.attention_w.bias": ("att_w", "b"),
+    "b_classifier.fc.weight": ("bag_fc", "w"), "b_classifier.fc.bias": ("bag_fc", "b"),
+}
+
+
+def abmil_state_dict_from_params(params: Dict[str, Any]) -> "collections.OrderedDict":
+    sd = collections.OrderedDict()
+    for name, (grp, leaf) in _ABMIL_KEYS.items():
+        sd[name] = np.asarray(params[grp][leaf])
+    return sd
+
+
+def abmil_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict[str, Any], DSMILConfig]:
+    import jax.numpy as jnp
+
+    params: Dict[str, Any] = {}
+    for name, (grp, leaf) in _ABMIL_KEYS.items():
+        params.setdefault(grp, {})[leaf] = jnp.asarray(
+            np.asarray(sd[name], np.float32))
+    c, k = np.asarray(sd["i_classifier.fc.weight"]).shape
+    return params, DSMILConfig(feats_size=k, num_classes=c)
+
+
+def save_mil_pth(params: Dict[str, Any], path: str, model: str = "dsmil") -> None:
+    """Model-aware export: the reference schema for dsmil, the tpumil ABMIL
+    schema otherwise."""
+    if model == "abmil" or "att_v" in params:
+        save_state_dict(abmil_state_dict_from_params(params), path)
+    else:
+        save_aggregator_pth(params, path)
+
+
+def load_mil_pth(path: str) -> Tuple[Dict[str, Any], DSMILConfig, str]:
+    """Load either schema; returns (params, cfg, model_name)."""
+    sd = load_state_dict(path)
+    if "b_classifier.attention_v.weight" in sd:
+        params, cfg = abmil_params_from_state_dict(sd)
+        return params, cfg, "abmil"
+    params, cfg = aggregator_params_from_state_dict(sd)
+    return params, cfg, "dsmil"
+
+
+# ---------------------------------------------------------------------------
 # Embedder (SimCLR ResNet) checkpoints — positional surgery
 # ---------------------------------------------------------------------------
 

@@ -71,9 +71,14 @@ def init_distributed(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError) as e:
-        # already initialized, or single-process run without a coordinator
-        if "already" not in str(e).lower() and coordinator_address is not None:
+    except ValueError as e:
+        # ValueError = no cluster config detected (single-host run): benign.
+        if coordinator_address is not None:
+            raise
+    except RuntimeError as e:
+        # genuine coordination failures must NOT silently degrade a pod run
+        # to N independent single-host trainings
+        if "already" not in str(e).lower():
             raise
 
 

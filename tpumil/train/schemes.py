@@ -66,16 +66,18 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
         global_store = DeviceBagStore(bags)
     accs = []
     indices = list(range(len(bags)))
+    # one trainer (and one set of compiled programs) for all folds; the
+    # fold's pos_weight is runtime data, not a compile-time constant
+    model_cfg = DSMILConfig(feats_size=cfg.num_feats, num_classes=1)
+    trainer = BagTrainer(
+        model_cfg,
+        optimizer=adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay),
+        model=model or cfg.model,
+    )
     for k in range(cfg.cv_fold):
         train_bags, test_bags = cross_validation_split(bags, cfg.cv_fold, k)
-        pos_weight = compute_pos_weight(train_bags)
-        model_cfg = DSMILConfig(feats_size=cfg.num_feats, num_classes=1)
-        trainer = BagTrainer(
-            model_cfg,
-            optimizer=adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay),
-            pos_weight=np.asarray([pos_weight], np.float32),
-            model=model or cfg.model,
-        )
+        trainer.pos_weight = np.asarray([compute_pos_weight(train_bags)],
+                                        np.float32)
         # the reference does NOT orthogonal-init in train_mil (default torch
         # init), but init distribution does not change the measured behaviour
         # class; we keep one init path for both harnesses.
@@ -197,9 +199,9 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
     """One fold: train with early stopping on the reference's selection
     criterion ``(sum(aucs) + acc) / 2`` (train_tcga.py:272-287). Returns
     (best_params, best_thresholds, best_acc, best_aucs)."""
-    if cfg.use_device_store:
-        from tpumil.data.device_store import DeviceBagStore
+    from tpumil.data.device_store import DeviceBagStore
 
+    if cfg.use_device_store:
         if not isinstance(train_bags, DeviceBagStore):
             train_bags = DeviceBagStore(train_bags)
         if not isinstance(test_bags, DeviceBagStore):
@@ -214,8 +216,6 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
             "thresholds": [0.5] * cfg.num_classes, "acc": 0.0,
             "aucs": [0.0] * cfg.num_classes}
     counter = 0
-    from tpumil.data.device_store import DeviceBagStore
-
     fused = cfg.eval_interval > 1 and isinstance(train_bags, DeviceBagStore)
     epoch = 1
     while epoch <= cfg.num_epochs:
@@ -279,11 +279,11 @@ def run_5fold_cv(bags: List[Bag], cfg: WSITrainConfig,
             fold_results.append(resumed)
             continue
         log(f"Starting CV fold {fold}.")
-        save_cb = _fold_saver(save_dir, fold) if save_dir else None
+        save_cb = _fold_saver(save_dir, fold, cfg.model) if save_dir else None
         tr, te = _fold_views(store, bags, tr_idx, te_idx)
         best = train_fold(trainer, tr, te, cfg, rng,
                           jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
-        _mark_fold_done(save_dir, fold, best)
+        _mark_fold_done(save_dir, fold, best, cfg)
         fold_results.append(best)
     mean_ac = float(np.mean([b["acc"] for b in fold_results]))
     mean_auc = np.mean(np.array([b["aucs"] for b in fold_results]), axis=0)
@@ -318,7 +318,7 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
             test_bags = store.subset(order[val_end:])
         else:
             test_bags = [bags[i] for i in order[val_end:]]
-        save_cb = _fold_saver(save_dir, it) if save_dir else None
+        save_cb = _fold_saver(save_dir, it, cfg.model) if save_dir else None
         best = train_fold(trainer, train_bags, val_bags, cfg, rng,
                           jax.random.PRNGKey(cfg.seed + it), log, save_cb)
         test_res = evaluate_bags(trainer, best["params"], test_bags, cfg,
@@ -357,11 +357,11 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
         resumed = _try_resume_fold(cfg, save_dir, fold, log)
         if resumed is None:
             log(f"Starting CV fold {fold}.")
-            save_cb = _fold_saver(save_dir, fold) if save_dir else None
+            save_cb = _fold_saver(save_dir, fold, cfg.model) if save_dir else None
             tr, te = _fold_views(store, bags, rest_idx[tr_idx], rest_idx[te_idx])
             best = train_fold(trainer, tr, te, cfg, rng,
                               jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
-            _mark_fold_done(save_dir, fold, best)
+            _mark_fold_done(save_dir, fold, best, cfg)
         else:
             best = resumed
         fold_models.append((best["params"], best["thresholds"]))
@@ -395,8 +395,9 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
         with open(os.path.join(save_dir, "test", "test_list.json"), "w") as f:
             json.dump([b.name for b in holdout], f)
         for i, (params, thresholds) in enumerate(fold_models):
-            torch_ckpt.save_aggregator_pth(
-                params, os.path.join(save_dir, "test", f"mil_weights_fold_{i}.pth"))
+            torch_ckpt.save_mil_pth(
+                params, os.path.join(save_dir, "test", f"mil_weights_fold_{i}.pth"),
+                cfg.model)
             with open(os.path.join(save_dir, "test", f"mil_threshold_fold_{i}.json"), "w") as f:
                 json.dump([float(t) for t in thresholds], f)
     return out
@@ -406,9 +407,18 @@ def _fold_marker(save_dir: str, fold: int) -> str:
     return os.path.join(save_dir, f"fold_{fold}.done.json")
 
 
+def _cfg_fingerprint(cfg: WSITrainConfig) -> str:
+    """Identifies an experiment so --resume never adopts a different run's
+    results (seed/model/optimization must match)."""
+    return (f"{cfg.model}|{cfg.seed}|{cfg.lr}|{cfg.num_epochs}|"
+            f"{cfg.weight_decay}|{cfg.num_classes}|{cfg.feats_size}|"
+            f"{cfg.nonlinear}|{cfg.dropout_patch}|{cfg.dropout_node}")
+
+
 def _try_resume_fold(cfg: WSITrainConfig, save_dir: Optional[str], fold: int,
                      log) -> Optional[dict]:
-    """Load a completed fold's best model + metrics if its marker exists."""
+    """Load a completed fold's best model + metrics if its marker exists AND
+    was produced by the same experiment config."""
     if not (cfg.resume and save_dir):
         return None
     marker = _fold_marker(save_dir, fold)
@@ -419,23 +429,29 @@ def _try_resume_fold(cfg: WSITrainConfig, save_dir: Optional[str], fold: int,
 
     with open(marker) as f:
         meta = json.load(f)
-    params, _ = torch_ckpt.load_aggregator_pth(pth)
+    if meta.get("fingerprint") != _cfg_fingerprint(cfg):
+        log(f"fold {fold}: existing marker was produced by a different "
+            "config; retraining (weights will be overwritten).")
+        return None
+    params, _, _ = torch_ckpt.load_mil_pth(pth)
     log(f"Resuming fold {fold} from {pth} (acc {meta['acc']:.4f}).")
     return {"score": metrics.current_score(meta["acc"], meta["aucs"]),
             "params": params, "thresholds": meta["thresholds"],
             "acc": meta["acc"], "aucs": meta["aucs"]}
 
 
-def _mark_fold_done(save_dir: Optional[str], fold: int, best: dict) -> None:
+def _mark_fold_done(save_dir: Optional[str], fold: int, best: dict,
+                    cfg: Optional[WSITrainConfig] = None) -> None:
     if not save_dir:
         return
     os.makedirs(save_dir, exist_ok=True)
     with open(_fold_marker(save_dir, fold), "w") as f:
         json.dump({"acc": best["acc"], "aucs": list(map(float, best["aucs"])),
-                   "thresholds": list(map(float, best["thresholds"]))}, f)
+                   "thresholds": list(map(float, best["thresholds"])),
+                   "fingerprint": _cfg_fingerprint(cfg) if cfg else None}, f)
 
 
-def _fold_saver(save_dir: str, fold: int):
+def _fold_saver(save_dir: str, fold: int, model: str = "dsmil"):
     """Best-model persistence matching save_model (train_tcga.py:183-190)."""
     from tpumil.io import torch_ckpt
 
@@ -443,7 +459,7 @@ def _fold_saver(save_dir: str, fold: int):
 
     def save_cb(params, thresholds):
         path = os.path.join(save_dir, f"fold_{fold}.pth")
-        torch_ckpt.save_aggregator_pth(params, path)
+        torch_ckpt.save_mil_pth(params, path, model)
         with open(os.path.join(save_dir, f"fold_{fold}.json"), "w") as f:
             json.dump([float(t) for t in thresholds], f)
 

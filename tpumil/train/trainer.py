@@ -76,14 +76,15 @@ class BagTrainer:
         self._mil = mil
         if self.optimizer is None:
             self.optimizer = adam_torch(betas=(0.5, 0.9), weight_decay=0.0)
-        pw = None if self.pos_weight is None else jnp.asarray(self.pos_weight)
 
         # the v-stream Dropout only exists with passing_v (dsmil.py:34-39);
         # note the reference's --dropout_node flag is itself a no-op upstream
         # because train_tcga.py:237 never sets passing_v
         v_dropout = self.cfg.dropout_v if self.cfg.passing_v else 0.0
 
-        def bag_loss(params, feats, mask, label, key):
+        # pos_weight rides in as runtime data (ones == unweighted BCE), so
+        # one compiled program serves every CV fold's class balance
+        def bag_loss(params, feats, mask, label, key, pw):
             c, bag_logits, _, _ = mil.forward(
                 params, feats, mask, compute_dtype=self.cfg.compute_dtype,
                 dropout_rng=key if v_dropout > 0.0 else None,
@@ -94,14 +95,14 @@ class BagTrainer:
         keep_frac = 1.0 - self.dropout_patch
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_chunk(params, opt_state, feats, mask, labels, lr, rngs):
+        def train_chunk(params, opt_state, feats, mask, labels, lr, rngs, pw):
             def step(carry, xs):
                 p, s = carry
                 f, m, y, key = xs
                 k_patch, k_v = jax.random.split(key)
                 if self.dropout_patch > 0.0:
                     m = patch_dropout_mask(k_patch, m, keep_frac)
-                loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y, k_v)
+                loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y, k_v, pw)
                 p, s = self.optimizer.step(p, s, grads, lr)
                 return (p, s), loss
 
@@ -109,7 +110,7 @@ class BagTrainer:
                 step, (params, opt_state), (feats, mask, labels, rngs))
             return params, opt_state, jnp.sum(losses)
 
-        def _gated_step(p, s, i, key, real, feats, mask, labels, lr):
+        def _gated_step(p, s, i, key, real, feats, mask, labels, lr, pw):
             """One per-bag step; dummy rows (count-padding, real=False) leave
             params/opt_state untouched — a plain zero-grad step would still
             apply weight decay and advance Adam moments."""
@@ -119,7 +120,7 @@ class BagTrainer:
             k_patch, k_v = jax.random.split(key)
             if self.dropout_patch > 0.0:
                 m = patch_dropout_mask(k_patch, m, keep_frac)
-            loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y, k_v)
+            loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y, k_v, pw)
             p2, s2 = self.optimizer.step(p, s, grads, lr)
             p = jax.tree.map(lambda a, b: jnp.where(real, a, b), p2, p)
             s = jax.tree.map(
@@ -129,14 +130,15 @@ class BagTrainer:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_bucket(params, opt_state, feats, mask, labels, perm, lr,
-                         rngs, real):
+                         rngs, real, pw):
             """Scan per-bag steps over a device-resident bucket: features
             never leave HBM; only ``perm`` (the epoch shuffle) and ``lr``
             cross the host boundary."""
             def step(carry, xs):
                 p, s = carry
                 i, key, r = xs
-                p, s, loss = _gated_step(p, s, i, key, r, feats, mask, labels, lr)
+                p, s, loss = _gated_step(p, s, i, key, r, feats, mask, labels,
+                                         lr, pw)
                 return (p, s), loss
 
             (params, opt_state), losses = jax.lax.scan(
@@ -145,7 +147,7 @@ class BagTrainer:
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_bucket_epochs(params, opt_state, feats, mask, labels, perms,
-                                lrs, rngs, real):
+                                lrs, rngs, real, pw):
             """Multiple epochs over one bucket in a single dispatch: scan over
             epochs of scans over bags. perms [E, B], lrs [E], rngs [E, B, 2],
             real [E, B]. Collapses E x B host dispatches into one — important
@@ -159,7 +161,7 @@ class BagTrainer:
                     p2, s2 = carry2
                     i, key, r = xs2
                     p2, s2, loss = _gated_step(p2, s2, i, key, r, feats, mask,
-                                               labels, lr)
+                                               labels, lr, pw)
                     return (p2, s2), loss
 
                 (p, s), losses = jax.lax.scan(step, (p, s), (perm, keys, r_flags))
@@ -170,7 +172,7 @@ class BagTrainer:
             return params, opt_state, epoch_losses
 
         @jax.jit
-        def eval_chunk(params, feats, mask, labels, rngs):
+        def eval_chunk(params, feats, mask, labels, rngs, pw):
             if self.dropout_patch > 0.0:
                 # the reference applies patch dropout at test time too
                 # (train_tcga.py:96) — reproduced, off by default.
@@ -181,6 +183,7 @@ class BagTrainer:
             max_logits = mil.max_instance_logits(c, mask)
             bag_l = jax.vmap(lambda x, y: bce_with_logits(x, y, pw))(bag_logits, labels)
             max_l = jax.vmap(lambda x, y: bce_with_logits(x, y, pw))(max_logits, labels)
+
             losses = 0.5 * bag_l + 0.5 * max_l
             scores = jax.nn.sigmoid(bag_logits)
             avg_scores = scores + jax.nn.sigmoid(max_logits)
@@ -192,6 +195,12 @@ class BagTrainer:
         self._eval_chunk = eval_chunk
 
     # -- public API ---------------------------------------------------------
+
+    def _pw(self):
+        """pos_weight as runtime data; ones == plain BCE."""
+        if self.pos_weight is None:
+            return jnp.ones((self.cfg.num_classes,), jnp.float32)
+        return jnp.asarray(self.pos_weight, jnp.float32)
 
     def init(self, key):
         params = self._mil.init_params(key, self.cfg)
@@ -216,7 +225,7 @@ class BagTrainer:
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
             params, opt_state, loss = self._train_chunk(
                 params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
-                jnp.asarray(labels), lr, keys)
+                jnp.asarray(labels), lr, keys, self._pw())
             total += float(loss)
         return params, opt_state, total / max(len(bags), 1)
 
@@ -233,16 +242,19 @@ class BagTrainer:
 
     def train_epochs(self, params, opt_state, store, lrs,
                      rng: np.random.Generator):
-        """Run ``len(lrs)`` epochs over a DeviceBagStore with ONE dispatch per
-        bucket: all per-epoch shuffles and LRs ship as small arrays. Returns
-        (params, opt_state, mean_loss_per_epoch [E]). Note: the E epochs run
-        bucket-by-bucket (bucket A epochs 1..E, then bucket B ...) — within-
-        epoch bag order remains shuffled, but buckets do not interleave
-        across the fused epochs."""
+        """Run ``len(lrs)`` epochs over a DeviceBagStore, fusing dispatches
+        where that does not change training semantics. Returns
+        (params, opt_state, mean_loss_per_epoch [E]).
+
+        With ONE bucket the full E-epoch loop runs in a single dispatch.
+        With multiple buckets, fusing E epochs per bucket would train
+        bucket-by-bucket (bag size correlates with slide content — a biased
+        curriculum), so the loop stays epoch-major: per epoch, one dispatch
+        per bucket, matching train_epoch's visitation semantics."""
         e = len(lrs)
         lrs_j = jnp.asarray(lrs, jnp.float32)
-        totals = np.zeros((e,), np.float64)
-        for nmax in store.bucket_sizes:
+        if len(store.bucket_sizes) == 1:
+            nmax = store.bucket_sizes[0]
             feats, mask, labels = store.buckets[nmax]
             b = feats.shape[0]
             pr = [self._bucket_perm(store, nmax, rng) for _ in range(e)]
@@ -252,9 +264,16 @@ class BagTrainer:
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
             ).reshape(e, b, 2)
             params, opt_state, losses = self._train_bucket_epochs(
-                params, opt_state, feats, mask, labels, perms, lrs_j, keys, real)
-            totals += np.asarray(losses, np.float64)
-        return params, opt_state, totals / max(store.num_bags, 1)
+                params, opt_state, feats, mask, labels, perms, lrs_j, keys,
+                real, self._pw())
+            return params, opt_state, (np.asarray(losses, np.float64)
+                                       / max(store.num_bags, 1))
+        totals = np.zeros((e,), np.float64)
+        for i, lr in enumerate(lrs):
+            params, opt_state, mean_loss = self._train_epoch_store(
+                params, opt_state, store, lr, rng)
+            totals[i] = mean_loss
+        return params, opt_state, totals
 
     def _train_epoch_store(self, params, opt_state, store, lr,
                            rng: np.random.Generator):
@@ -270,7 +289,7 @@ class BagTrainer:
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
             params, opt_state, loss = self._train_bucket(
                 params, opt_state, feats, mask, labels, jnp.asarray(perm),
-                lr, keys, jnp.asarray(real))
+                lr, keys, jnp.asarray(real), self._pw())
             total += float(loss)
         return params, opt_state, total / max(store.num_bags, 1)
 
@@ -296,7 +315,7 @@ class BagTrainer:
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
             losses, scores, avg_scores = self._eval_chunk(
                 params, jnp.asarray(feats), jnp.asarray(mask),
-                jnp.asarray(labels), keys)
+                jnp.asarray(labels), keys, self._pw())
             chosen = avg_scores if average else scores
             for j, i in enumerate(idxs):
                 scores_out[i] = np.asarray(chosen[j])
@@ -313,7 +332,7 @@ class BagTrainer:
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
             losses, scores, avg_scores = self._eval_chunk(
-                params, feats, mask, labels, keys)
+                params, feats, mask, labels, keys, self._pw())
             chosen = np.asarray(avg_scores if average else scores)
             idx = store.index[nmax]
             scores_out[idx] = chosen[:len(idx)]  # dummies sit past the reals
