@@ -127,12 +127,15 @@ void run_pool(int n_items, int n_threads, const std::function<void(int)>& fn) {
 
 extern "C" {
 
-// Decode n JPEGs into out[n, size, size, 3] uint8 (resized bilinear when the
-// source is not size x size). err[i] = 0 on success. Returns count of
-// successes. to_float_out: optional float32 buffer (same layout) scaled to
-// [0, 1]; pass nullptr to skip.
+// Decode n JPEGs into out[n, size, size, 3] uint8. err[i] = 0 on success.
+// Returns count of successes. to_float_out: optional float32 buffer (same
+// layout) scaled to [0, 1]; pass nullptr to skip. allow_resize: when 0, a
+// source whose size differs from `size` gets err -4 instead of a native
+// bilinear resize (the caller re-decodes via PIL so resampling is identical
+// with or without this library).
 int ts_decode_batch(const char** paths, int n, int size, uint8_t* out,
-                    float* to_float_out, int* err, int n_threads) {
+                    float* to_float_out, int* err, int n_threads,
+                    int allow_resize) {
   constexpr int kCap = 4096;  // max source dimension
   std::atomic<int> ok(0);
   run_pool(n, n_threads, [&](int i) {
@@ -143,6 +146,9 @@ int ts_decode_batch(const char** paths, int n, int size, uint8_t* out,
     int w = 0, h = 0;
     int rc = decode_jpeg_file(paths[i], buf.data(), kCap, kCap, &w, &h);
     uint8_t* dst = out + static_cast<size_t>(i) * size * size * 3;
+    if (rc == 0 && !allow_resize && (w != size || h != size)) {
+      rc = -4;  // caller resamples via PIL for cross-path parity
+    }
     if (rc == 0) {
       if (w == size && h == size) {
         // decode wrote rows at stride w*3 == size*3
@@ -312,7 +318,9 @@ int ts_tiff_read_region(void* handle, int level, int x, int y, int w, int hh,
     TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
     TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
     std::vector<uint32_t> tile(static_cast<size_t>(tw) * th);
-    for (uint32_t ty = (y / th) * th; ty < static_cast<uint32_t>(y + hh) && ty < img_h; ty += th) {
+    // clamp BOTH coordinates before the unsigned division — a negative y
+    // would wrap to a huge uint32 and skip the loop entirely
+    for (uint32_t ty = (std::max(0, y) / th) * th; ty < static_cast<uint32_t>(y + hh) && ty < img_h; ty += th) {
       for (uint32_t tx = (std::max(0, x) / tw) * tw; tx < static_cast<uint32_t>(x + w) && tx < img_w; tx += tw) {
         if (!TIFFReadRGBATile(tif, tx, ty, tile.data())) continue;
         // RGBA tile is bottom-up

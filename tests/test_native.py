@@ -39,8 +39,14 @@ def test_decode_batch_matches_pil(tmp_path, rng):
 
 def test_decode_batch_resize_and_errors(tmp_path, rng):
     paths = _write_jpegs(tmp_path, rng, n=2, size=48)
+    # default: size mismatch -> err -4 (caller resamples via PIL for parity)
     out, err = native.decode_batch(paths, 32, num_threads=2)
-    assert out.shape == (2, 32, 32, 3) and np.all(err == 0)
+    assert np.all(err == -4)
+    # opt-in native bilinear resize
+    out_r, err_r = native.decode_batch(paths, 32, num_threads=2,
+                                       allow_resize=True)
+    assert out_r.shape == (2, 32, 32, 3) and np.all(err_r == 0)
+    assert out_r.max() > 0
     # missing file -> nonzero error code, zero image, no crash
     out2, err2 = native.decode_batch([paths[0], str(tmp_path / "nope.jpg")], 48)
     assert err2[0] == 0 and err2[1] != 0
@@ -110,3 +116,32 @@ def test_loader_native_path(tmp_path, rng):
     for (a, na, _), (b, nb, _) in zip(batches, loader_pil):
         assert na == nb
         np.testing.assert_allclose(a[:na], b[:nb], atol=1e-6)
+
+
+def test_loader_native_resize_parity_with_pil(tmp_path, rng):
+    """Resized patches must be IDENTICAL through the native loader path and
+    the PIL path (the native path delegates mismatched sizes to PIL)."""
+    from tpumil.data.patches import PatchBatchLoader
+
+    paths = _write_jpegs(tmp_path, rng, n=6, size=48)
+    nat = list(PatchBatchLoader(paths, batch_size=3, patch_size=32,
+                                num_workers=1, use_native=True))
+    pil = list(PatchBatchLoader(paths, batch_size=3, patch_size=32,
+                                num_workers=1, use_native=False))
+    for (a, na, _), (b, nb, _) in zip(nat, pil):
+        np.testing.assert_allclose(a[:na], b[:nb], atol=1e-6)
+
+
+def test_native_tiff_negative_y(tmp_path, rng):
+    """Regression: negative y wrapped to a huge uint32 and returned blank
+    tiles on tiled TIFFs."""
+    from PIL import Image
+
+    img = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / "t.tif")
+    Image.fromarray(img).save(path, tiffinfo={322: 64, 323: 64})  # tiled hint
+    nat = native.NativeTiff(path)
+    out = nat.read_region(0, 0, -8, 32, 32)
+    np.testing.assert_array_equal(out[:8], 0)
+    np.testing.assert_array_equal(out[8:], img[0:24, 0:32])
+    nat.close()

@@ -12,15 +12,17 @@ def load_milnet(embedder_weights: str, aggregator_weights: str,
                 num_classes: int, norm: str = "instance"):
     """Shared model assembly of the inference scripts: embedder via the
     popitem/positional surgery (attention_map.py:151-160), aggregator from a
-    reference-schema .pth, instance head overwritten from the aggregator's
-    ``i_classifier.fc.0.*`` (attention_map.py:162-165)."""
+    reference-schema (or tpumil-ABMIL) .pth, instance head overwritten from
+    the aggregator's ``i_classifier.fc.0.*`` (attention_map.py:162-165).
+
+    Returns (emb_params, emb_cfg, agg_params, model_name)."""
     import jax
 
     from tpumil.io import torch_ckpt
     from tpumil.models import embedder
     from tpumil.models.embedder import EmbedderConfig
 
-    agg_params, agg_cfg = torch_ckpt.load_aggregator_pth(aggregator_weights)
+    agg_params, agg_cfg, model_name = torch_ckpt.load_mil_pth(aggregator_weights)
     emb_cfg = EmbedderConfig(backbone="resnet18", norm=norm,
                              num_classes=agg_cfg.num_classes)
     if embedder_weights == "ImageNet":
@@ -33,7 +35,7 @@ def load_milnet(embedder_weights: str, aggregator_weights: str,
         emb_params, agg_params["i_fc"]["w"], agg_params["i_fc"]["b"])
     assert agg_cfg.num_classes == num_classes, (
         f"aggregator has {agg_cfg.num_classes} classes, expected {num_classes}")
-    return emb_params, emb_cfg, agg_params
+    return emb_params, emb_cfg, agg_params, model_name
 
 
 def main(argv=None):
@@ -70,10 +72,11 @@ def main(argv=None):
     if len(args.thres) != args.num_classes:
         raise ValueError("Number of thresholds does not match classes.")
 
-    emb_params, emb_cfg, agg_params = load_milnet(
+    emb_params, emb_cfg, agg_params, model_name = load_milnet(
         args.embedder_weights, args.aggregator_weights, args.num_classes)
     infer = BagInference(emb_params, emb_cfg, agg_params,
-                         batch_size=args.batch_size, num_workers=args.num_workers)
+                         batch_size=args.batch_size, num_workers=args.num_workers,
+                         model=model_name)
     bags_list = sorted(glob.glob(os.path.join(args.bag_path, "*")))
     if args.export_scores:
         os.makedirs(args.score_path, exist_ok=True)

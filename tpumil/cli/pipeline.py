@@ -62,9 +62,13 @@ def main(argv=None):
         paths = generate_manifest(cfg.wsi_root, cfg.dataset, "low", multiscale)
         if not paths:
             raise SystemExit("no patches found; run the tile stage first")
-        model_cfg = SimCLRConfig(base_model=cfg.embedder.backbone
-                                 if cfg.embedder.backbone in ("resnet18", "resnet50")
-                                 else "resnet18")
+        if cfg.embedder.backbone not in ("resnet18", "resnet50"):
+            raise SystemExit(
+                f"SimCLR pretraining supports resnet18/resnet50 (the reference "
+                f"too, simclr/models/resnet_simclr.py:10-11); configured "
+                f"embedder.backbone={cfg.embedder.backbone!r} would not load "
+                f"back positionally. Set embedder.weights to pretrain elsewhere.")
+        model_cfg = SimCLRConfig(base_model=cfg.embedder.backbone)
         trainer = SimCLRTrainer(model_cfg, cfg.simclr)
         out = trainer.fit(paths, os.path.join(run_dir, "simclr"))
         simclr_ckpt = out["checkpoint"]
@@ -118,16 +122,23 @@ def main(argv=None):
         from tpumil.infer.heatmap import BagInference, run_attention_maps
 
         agg = sorted(glob.glob(os.path.join(run_dir, "weights", "fold_*.pth")))
-        emb = cfg.embedder.weights or simclr_ckpt or sorted(
-            glob.glob(os.path.join(run_dir, "simclr", "checkpoints", "*.pth")))[-1]
         if not agg:
             raise SystemExit("no trained aggregator; run the train stage first")
-        emb_params, emb_cfg, agg_params = load_milnet(
+        emb = cfg.embedder.weights or simclr_ckpt
+        if emb is None:
+            cands = sorted(glob.glob(os.path.join(run_dir, "simclr",
+                                                  "checkpoints", "*.pth")))
+            if not cands:
+                raise SystemExit("no embedder weights; run the simclr stage "
+                                 "or set embedder.weights")
+            emb = cands[-1]
+        emb_params, emb_cfg, agg_params, model_name = load_milnet(
             emb, agg[0], cfg.train.num_classes, cfg.embedder.norm_layer)
         infer = BagInference(emb_params, emb_cfg, agg_params,
                              batch_size=cfg.inference.batch_size,
                              patch_size=cfg.embedder.patch_size,
-                             num_workers=cfg.inference.num_workers)
+                             num_workers=cfg.inference.num_workers,
+                             model=model_name)
         layout = "pyramid" if len(cfg.magnifications) > 1 else "single"
         bags_list = sorted(glob.glob(os.path.join(cfg.wsi_root, cfg.dataset,
                                                   layout, "*", "*")))
@@ -136,7 +147,8 @@ def main(argv=None):
                                               for c in range(cfg.train.num_classes)]
         run_attention_maps(
             infer, bags_list, thres, names, os.path.join(run_dir, "maps"),
-            patch_ext="jpeg",
+            # tiles were written by the tiler stage in cfg.tiler.format
+            patch_ext=cfg.inference.patch_ext or cfg.tiler.format,
             score_path=os.path.join(run_dir, "scores")
             if cfg.inference.export_scores else None,
             average=cfg.inference.average, seed=cfg.train.seed)

@@ -30,7 +30,9 @@ def main(argv=None):
                         help="Reference-format YAML (optional; flags override)")
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)
-    parser.add_argument("--lr", type=float, default=1e-5)
+    parser.add_argument("--lr", type=float, default=None,
+                        help="Learning rate (flag > config.yaml "
+                             "learning_rate > 1e-5, simclr.py:72)")
     parser.add_argument("--temperature", type=float, default=None)
     parser.add_argument("--out_dim", type=int, default=None)
     parser.add_argument("--base_model", type=str, default=None)
@@ -67,7 +69,8 @@ def main(argv=None):
         batch_size=args.batch_size or cfg_yaml.get("batch_size", 512),
         epochs=args.epochs or cfg_yaml.get("epochs", 100),
         eval_every_n_epochs=cfg_yaml.get("eval_every_n_epochs", 1),
-        lr=args.lr,
+        lr=(args.lr if args.lr is not None
+            else float(cfg_yaml.get("learning_rate", 1e-5))),
         weight_decay=float(str(cfg_yaml.get("weight_decay", "1e-5")).replace(
             "10e-6", "1e-5")),
         temperature=args.temperature or loss_y.get("temperature", 0.5),

@@ -38,7 +38,7 @@ def main(argv=None):
     from tpumil.cli.attention_map import load_milnet
     from tpumil.infer.heatmap import BagInference, render_color_map, save_png
 
-    emb_params, emb_cfg, agg_params = load_milnet(
+    emb_params, emb_cfg, agg_params, _model = load_milnet(
         args.embedder_weights, args.aggregator_weights, 2)
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size, num_workers=args.num_workers)

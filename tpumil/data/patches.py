@@ -115,6 +115,18 @@ class PatchBatchLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Enqueue without deadlocking if the consumer already left (a
+            plain q.put on a full queue would pin this thread and its ~100MB
+            batches forever)."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer_native():
             from tpumil.utils import native
 
@@ -124,6 +136,11 @@ class PatchBatchLoader:
                 try:
                     arr, err = native.decode_batch(chunk, self.patch_size,
                                                    self.num_workers)
+                    # err -4: size mismatch — redecode via PIL so resampling
+                    # is identical to the pure-PIL path
+                    for j in np.nonzero(err == -4)[0]:
+                        arr[j] = decode_patch(chunk[int(j)], self.patch_size)
+                        err[j] = 0
                     if np.any(err != 0):
                         bad = [p for p, e in zip(chunk, err) if e != 0]
                         raise IOError(f"native decode failed for {bad[:3]}")
@@ -131,11 +148,12 @@ class PatchBatchLoader:
                         pad = np.zeros((self.batch_size - arr.shape[0],)
                                        + arr.shape[1:], arr.dtype)
                         arr = np.concatenate([arr, pad], axis=0)
-                    q.put((arr, len(chunk), chunk))
+                    if not put_or_stop((arr, len(chunk), chunk)):
+                        return
                 except Exception as e:
-                    q.put(e)
-                    break
-            q.put(None)
+                    put_or_stop(e)
+                    return
+            put_or_stop(None)
 
         def producer():
             if self.use_native:
@@ -145,11 +163,13 @@ class PatchBatchLoader:
                     if stop.is_set():
                         break
                     try:
-                        q.put((self._decode_batch(chunk, pool), len(chunk), chunk))
+                        item = (self._decode_batch(chunk, pool), len(chunk), chunk)
+                        if not put_or_stop(item):
+                            return
                     except Exception as e:  # surface decode errors to consumer
-                        q.put(e)
-                        break
-                q.put(None)
+                        put_or_stop(e)
+                        return
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -200,13 +200,19 @@ class NativeTiffBackend(SlideBackend):
 
 def open_slide(path: str) -> SlideBackend:
     """Backend auto-selection: openslide when available, then the native
-    libtiff service, then PIL-TIFF, then plain image."""
+    libtiff service, then PIL-TIFF, then plain image. Openslide failures on
+    formats it cannot parse (plain TIFFs, PNGs, broken installs) fall through
+    to the other backends instead of aborting the run."""
     ext = os.path.splitext(path)[1].lower()
     try:
         import openslide  # noqa: F401
 
         return OpenSlideBackend(path)
     except ImportError:
+        pass
+    except Exception:
+        # openslide present but cannot open this file (e.g.
+        # OpenSlideUnsupportedFormatError) — try the other backends
         pass
     if ext in (".tif", ".tiff", ".svs"):
         from tpumil.utils import native

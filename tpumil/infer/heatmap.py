@@ -48,16 +48,21 @@ class BagInference:
 
     def __init__(self, emb_params: Dict, emb_cfg: EmbedderConfig,
                  agg_params: Dict, batch_size: int = 64,
-                 patch_size: Optional[int] = 224, num_workers: int = 8):
+                 patch_size: Optional[int] = 224, num_workers: int = 8,
+                 model: str = "dsmil"):
+        from tpumil.models.registry import get_model
+
+        mil = get_model(model)
         self.emb_params = emb_params
         self.emb_cfg = emb_cfg
         self.agg_params = agg_params
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.num_workers = num_workers
+        self.model = model
         self._embed = jax.jit(lambda p, x: embedder.forward(p, x, emb_cfg))
         self._aggregate = jax.jit(
-            lambda p, feats, c, mask: dsmil.forward(p, feats, mask, ins_logits=c))
+            lambda p, feats, c, mask: mil.forward(p, feats, mask, ins_logits=c))
 
     def run_bag(self, bag_dir: str, patch_ext: str = "jpg", average: bool = False,
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:

@@ -82,6 +82,16 @@ def embed_slide_streaming(slide_path: str, extractor: FeatureExtractor,
             return addr, tile
 
         q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
@@ -102,30 +112,34 @@ def embed_slide_streaming(slide_path: str, extractor: FeatureExtractor,
                         batch.append(tile.astype(np.float32) / 255.0)
                         pos.append(addr)
                         if len(batch) == batch_size:
-                            q.put((np.stack(batch), pos))
+                            if not put_or_stop((np.stack(batch), pos)):
+                                return
                             batch, pos = [], []
                 if batch:
                     pad = np.zeros((batch_size - len(batch),) + batch[0].shape,
                                    np.float32)
-                    q.put((np.concatenate([np.stack(batch), pad]), pos))
+                    put_or_stop((np.concatenate([np.stack(batch), pad]), pos))
             except Exception as e:  # surface errors; never strand the consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
         feats_parts, positions = [], []
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, Exception):
-                raise item
-            arr, pos = item
-            feats = extractor.embed_arrays(arr)
-            feats_parts.append(feats[:len(pos)])
-            positions.extend(pos)
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                arr, pos = item
+                feats = extractor.embed_arrays(arr)
+                feats_parts.append(feats[:len(pos)])
+                positions.extend(pos)
+        finally:
+            stop.set()
         stats.tiles_kept = len(positions)
         stats.seconds = time.perf_counter() - t0
         if not positions:

@@ -56,7 +56,9 @@ class InferenceStageConfig:
     class_names: Optional[list] = None
     batch_size: int = 64
     num_workers: int = 8
-    patch_ext: str = "jpg"
+    # None = follow the tiler's output format in the pipeline driver
+    # (standalone attention_map defaults to 'jpg' like the reference)
+    patch_ext: Optional[str] = None
     export_scores: bool = False
     average: bool = False
 

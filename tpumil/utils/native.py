@@ -37,7 +37,8 @@ def _load():
                 lib.ts_decode_batch.restype = ctypes.c_int
                 lib.ts_decode_batch.argtypes = [
                     ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
-                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_int, ctypes.c_int]
                 lib.ts_encode_jpeg.restype = ctypes.c_int
                 lib.ts_encode_jpeg.argtypes = [
                     ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -71,9 +72,15 @@ def available() -> bool:
 
 
 def decode_batch(paths: List[str], size: int, num_threads: int = 8,
-                 as_float: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+                 as_float: bool = True,
+                 allow_resize: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Decode JPEGs in parallel into [N, size, size, 3]. Returns
-    (float01 array if as_float else uint8 array, err codes [N])."""
+    (float01 array if as_float else uint8 array, err codes [N]).
+
+    By default sources whose size differs from ``size`` are NOT resized
+    natively (err -4): native bilinear point-sampling differs from PIL's
+    convolution resampling, and cross-path feature parity matters more than
+    resizing speed. Callers redecode err -4 entries via PIL."""
     lib = _load()
     if not lib:
         raise RuntimeError("native tile service not built (make -C native)")
@@ -87,7 +94,8 @@ def decode_batch(paths: List[str], size: int, num_threads: int = 8,
         arr, n, size,
         out_u8.ctypes.data_as(ctypes.c_void_p),
         out_f.ctypes.data_as(ctypes.c_void_p) if as_float else None,
-        err.ctypes.data_as(ctypes.c_void_p), num_threads)
+        err.ctypes.data_as(ctypes.c_void_p), num_threads,
+        1 if allow_resize else 0)
     return (out_f if as_float else out_u8), err
 
 
