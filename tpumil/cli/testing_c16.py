@@ -18,7 +18,7 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--feats_size", type=int, default=512)
-    parser.add_argument("--thres_tumor", type=float, default=0.5280815)
+    parser.add_argument("--thres_tumor", type=float, default=0.5282700061798096)
     parser.add_argument("--average", action="store_true")
     parser.add_argument("--aggregator_weights", type=str,
                         default="example_aggregator_weights/c16_aggregator.pth")
