@@ -1,0 +1,62 @@
+"""Full five-stage pipeline integration test (the automated version of the
+manual synthetic-demo verification): generate slides -> tile -> SimCLR ->
+features -> aggregator CV -> heatmaps, all through the single-config driver.
+"""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def pipeline_workdir(tmp_path, rng, monkeypatch):
+    from PIL import Image
+
+    monkeypatch.chdir(tmp_path)
+    for cls in ("tumor", "normal"):
+        for i in range(3):
+            img = np.full((256, 256, 3), 255, np.uint8)
+            if cls == "tumor":
+                img[:160, :160] = (rng.random((160, 160, 3)) * 180 + 20
+                                   ).astype(np.uint8)
+            else:
+                tex = (rng.random((160, 160, 3)) * 60 + 120)
+                tex[..., 1] += 40
+                img[:160, :160] = np.clip(tex, 0, 255).astype(np.uint8)
+            d = tmp_path / "WSI" / "demo" / cls
+            d.mkdir(parents=True, exist_ok=True)
+            pages = [Image.fromarray(img)]
+            pages.append(pages[0].resize((128, 128)))
+            pages[0].save(str(d / f"{cls}{i}.tif"), save_all=True,
+                          append_images=pages[1:], description="|AppMag = 20|")
+    (tmp_path / "exp.yaml").write_text(
+        "dataset: demo\n"
+        "magnifications: [0]\n"
+        "tiler:\n  tile_size: 64\n"
+        "simclr:\n  batch_size: 8\n  epochs: 1\n  input_size: 64\n"
+        "  num_workers: 2\n"
+        "embedder:\n  num_classes: 1\n  batch_size: 8\n  patch_size: 64\n"
+        "  precision: f32\n"
+        "train:\n  num_classes: 1\n  feats_size: 512\n  num_epochs: 3\n"
+        "  stop_epochs: 2\n  lr: 0.002\n  verbose: false\n"
+        "inference:\n  thresholds: [0.0]\n")
+    return tmp_path
+
+
+def test_pipeline_all_stages(pipeline_workdir):
+    from tpumil.cli.pipeline import main
+
+    rc = main(["--config", "exp.yaml",
+               "--stages", "tile,simclr,feats,train,maps", "--device", "cpu"])
+    assert rc == 0
+    # every stage's artifacts exist
+    assert glob.glob("WSI/demo/single/*/*/*.jpeg")
+    assert os.path.exists("runs/demo/simclr/checkpoints/model.pth")
+    assert os.path.exists("datasets/demo/demo.csv")
+    assert glob.glob("runs/demo/weights/fold_*.pth")
+    assert glob.glob("runs/demo/weights/test/mil_weights_fold_*.pth")
+    maps = glob.glob("runs/demo/maps/*.png")
+    assert len(maps) == 6
+    assert os.path.exists("runs/demo/resolved_config.yaml")
