@@ -13,6 +13,7 @@ import os
 def select_platform(device: str = "auto") -> None:
     """device: 'auto' (leave as-is), 'cpu', or 'tpu'. Must be called before
     any JAX computation runs."""
+    enable_compilation_cache()
     if device == "auto":
         return
     import jax
@@ -29,6 +30,25 @@ def select_platform(device: str = "auto") -> None:
     else:
         os.environ["JAX_PLATFORMS"] = device
         jax.config.update("jax_platforms", device)
+
+
+def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
+    """Persist XLA compilations across processes (~/.cache/tpumil/jax by
+    default) so repeat CLI invocations skip recompiles. Called by
+    select_platform; set TPUMIL_NO_COMPILE_CACHE=1 to disable."""
+    if os.environ.get("TPUMIL_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpumil", "jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only home: caching is best-effort
 
 
 def default_matmul_precision(precision: str = "highest") -> None:
