@@ -155,10 +155,10 @@ def forward(params: Params, feats, mask=None, *, ins_logits=None,
                 compute_dtype=compute_dtype)                    # [B, N, K]
 
     # Critical-instance selection: per-class argmax over instances
-    # (dsmil.py:52-53).
+    # (dsmil.py:52-53). q is row-wise, so gathering rows of the computed q
+    # is bit-identical to re-running the q-MLP on the gathered features.
     crit = masked_argmax(c, mask, axis=1)                       # [B, C]
-    m_feats = jnp.take_along_axis(f, crit[..., None], axis=1)   # [B, C, K]
-    q_max = apply_q(params, m_feats, compute_dtype)             # [B, C, D]
+    q_max = jnp.take_along_axis(q, crit[..., None], axis=1)     # [B, C, D]
 
     # Attention over instances (dsmil.py:54-56). softmax is over N.
     scale = 1.0 / jnp.sqrt(jnp.asarray(ATTN_DIM, dtype=compute_dtype))

@@ -42,15 +42,15 @@ class SimCLRConfig:
 def init_params(key, cfg: SimCLRConfig) -> Dict:
     k1, k2, k3 = jax.random.split(key, 3)
     n = cfg.num_ftrs
-    # torch Linear default init: U(-1/sqrt(in), 1/sqrt(in))
-    lim1 = 1.0 / np.sqrt(n)
-    lim2 = 1.0 / np.sqrt(n)
+    # torch Linear default init: weight AND bias ~ U(-1/sqrt(in), 1/sqrt(in))
+    lim = 1.0 / np.sqrt(n)
+    k2b, k3b = jax.random.split(jax.random.fold_in(key, 7))
     return {
         "backbone": resnet.init_params(k1, cfg.resnet_cfg),
-        "l1": {"w": jax.random.uniform(k2, (n, n), minval=-lim1, maxval=lim1),
-               "b": jnp.zeros((n,))},
-        "l2": {"w": jax.random.uniform(k3, (cfg.out_dim, n), minval=-lim2, maxval=lim2),
-               "b": jnp.zeros((cfg.out_dim,))},
+        "l1": {"w": jax.random.uniform(k2, (n, n), minval=-lim, maxval=lim),
+               "b": jax.random.uniform(k2b, (n,), minval=-lim, maxval=lim)},
+        "l2": {"w": jax.random.uniform(k3, (cfg.out_dim, n), minval=-lim, maxval=lim),
+               "b": jax.random.uniform(k3b, (cfg.out_dim,), minval=-lim, maxval=lim)},
     }
 
 

@@ -27,17 +27,28 @@ import jax.numpy as jnp
 
 
 def _random_resized_crop(key, img, out_size: int, scale=(0.08, 1.0),
-                         ratio=(3.0 / 4.0, 4.0 / 3.0)):
+                         ratio=(3.0 / 4.0, 4.0 / 3.0), attempts: int = 10):
     h, w = img.shape[0], img.shape[1]
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    area = h * w * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
-    log_ratio = jax.random.uniform(
-        k2, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
-    aspect = jnp.exp(log_ratio)
-    cw = jnp.clip(jnp.sqrt(area * aspect), 8.0, w)
-    ch = jnp.clip(jnp.sqrt(area / aspect), 8.0, h)
-    x0 = jax.random.uniform(k3) * (w - cw)
-    y0 = jax.random.uniform(k4) * (h - ch)
+    # torchvision semantics: sample up to `attempts` (area, aspect) pairs,
+    # take the FIRST that fits, else fall back to a full center crop —
+    # clipping oversized draws would skew mass toward full-size crops.
+    areas = h * w * jax.random.uniform(k1, (attempts,),
+                                       minval=scale[0], maxval=scale[1])
+    aspects = jnp.exp(jax.random.uniform(
+        k2, (attempts,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])))
+    cws = jnp.sqrt(areas * aspects)
+    chs = jnp.sqrt(areas / aspects)
+    valid = (cws <= w) & (chs <= h) & (cws >= 1) & (chs >= 1)
+    first = jnp.argmax(valid)  # first True (0 if none — gated below)
+    any_valid = jnp.any(valid)
+    # center-crop fallback: the largest in-ratio crop is just the full image
+    # clipped to the ratio bounds; torchvision uses the full image when the
+    # aspect already fits — approximate with the full frame
+    cw = jnp.where(any_valid, cws[first], jnp.float32(w))
+    ch = jnp.where(any_valid, chs[first], jnp.float32(h))
+    x0 = jnp.where(any_valid, jax.random.uniform(k3) * (w - cw), (w - cw) / 2)
+    y0 = jnp.where(any_valid, jax.random.uniform(k4) * (h - ch), (h - ch) / 2)
     # map the crop onto out_size x out_size: out = scale * in + translate
     sy = out_size / ch
     sx = out_size / cw
@@ -94,14 +105,15 @@ def _gaussian_blur(key, img, kernel_size: int = 13):
     xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
     k1d = jnp.exp(-0.5 * (xs / sigma) ** 2)
     k1d = k1d / jnp.sum(k1d)
-    # separable blur over H then W (channel-wise)
-    img_t = jnp.moveaxis(img, -1, 0)  # [3, H, W]
-    pad = [(0, 0), (r, r), (0, 0)]
+    # reflect-101 border like cv2.GaussianBlur (zero padding would darken a
+    # 2r-pixel vignette frame on every blurred view)
+    padded = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
+    img_t = jnp.moveaxis(padded, -1, 0)  # [3, H+2r, W+2r]
     blurred = jax.lax.conv_general_dilated(
-        img_t[:, None], k1d[None, None, :, None], (1, 1), [(r, r), (0, 0)],
+        img_t[:, None], k1d[None, None, :, None], (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
     blurred = jax.lax.conv_general_dilated(
-        blurred[:, None], k1d[None, None, None, :], (1, 1), [(0, 0), (r, r)],
+        blurred[:, None], k1d[None, None, None, :], (1, 1), [(0, 0), (0, 0)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
     return jnp.moveaxis(blurred, 0, -1)
 

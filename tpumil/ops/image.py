@@ -35,9 +35,8 @@ def img_as_ubyte(image: np.ndarray) -> np.ndarray:
 def rgb_to_saturation(image: np.ndarray) -> np.ndarray:
     """The S channel of HSV for an RGB uint8/float image, as used by the
     tissue filter (test_crop_single.py:17-24): S = (max - min) / max."""
+    # (max-min)/max is scale invariant — no need to normalize uint8 inputs
     img = np.asarray(image, dtype=np.float64)
-    if img.max() > 1.0:
-        img = img / 255.0
     mx = img.max(axis=-1)
     mn = img.min(axis=-1)
     sat = np.where(mx > 0, (mx - mn) / np.maximum(mx, 1e-12), 0.0)

@@ -109,11 +109,12 @@ class SimCLRTrainer:
     def lr_at(self, epoch: int) -> float:
         """Constant through the warmup epochs, cosine afterwards
         (simclr.py:77,129-130: scheduler stepped at end of epochs >= 10)."""
+        from tpumil.train.optim import cosine_annealing_lr
+
         c = self.cfg
         if epoch <= c.warmup_epochs:
             return c.lr
-        t = epoch - c.warmup_epochs
-        return c.lr * (1 + math.cos(math.pi * t / c.epochs)) / 2
+        return cosine_annealing_lr(c.lr, c.epochs, 0.0)(epoch - c.warmup_epochs)
 
     def init(self, key):
         params = simclr.init_params(key, self.model_cfg)
@@ -199,9 +200,14 @@ class SimCLRTrainer:
                     log("saved")
             scalars.log("cosine_lr_decay", lr, n_iter)
         scalars.close()
+        ckpt_path = os.path.join(ckpt_dir, "model.pth")
+        if not os.path.exists(ckpt_path):
+            # no validation split ever ran (tiny datasets): persist the final
+            # params so downstream stages always have a checkpoint
+            self.save(params, ckpt_path)
+            log("saved final params (no validation split)")
         return {"best_valid_loss": best_valid, "history": history,
-                "checkpoint": os.path.join(ckpt_dir, "model.pth"),
-                "params": params}
+                "checkpoint": ckpt_path, "params": params}
 
     def save(self, params, path: str) -> None:
         from tpumil.io import torch_ckpt
