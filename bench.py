@@ -6,7 +6,12 @@ extraction throughput, patches/sec on one chip, 224x224x3 inputs — the
 compute path of compute_feats.py:58-82 recast as fused XLA bf16 convolution.
 Input batches are generated on device and T batches are scanned inside one
 dispatch so tunnel round-trip latency does not pollute the measurement
-(steady-state pipelines hide it the same way).
+(steady-state pipelines hide it the same way). The tunnel adds a measured
+~24 ms of fixed overhead per dispatch (docs/PERF.md "Tunnel overhead"), so
+the scan must be long to read the true device rate: at scan_len=256 the
+residual overhead under-reports throughput by <1%. Batch 128 is the measured
+per-chip sweet spot (30-31k p/s vs 28k at 256, 19k at 64 — grid/VMEM
+pipelining aligns best at 128).
 
 vs_baseline: reference PyTorch fp16 ResNet18 inference on an A100 at ~3500
 patches/sec (representative eager-mode number for the reference's
@@ -29,7 +34,7 @@ FEAT_BASELINE_PPS = 3500.0     # A100 PyTorch fp16 resnet18 eager inference
 AGG_BASELINE_BPS = 100.0       # reference per-bag torch loop (train_tcga.py:60-73)
 
 
-def bench_feature_extraction(batch: int = 256, scan_len: int = 16,
+def bench_feature_extraction(batch: int = 128, scan_len: int = 256,
                              repeats: int = 3) -> dict:
     import jax
     import jax.numpy as jnp
@@ -43,7 +48,10 @@ def bench_feature_extraction(batch: int = 256, scan_len: int = 16,
 
     @jax.jit
     def gen(key):
-        return jax.random.uniform(key, (scan_len, batch, 224, 224, 3), jnp.float32)
+        # bf16 inputs: the production pipeline ships decoded patches to HBM
+        # in bf16 (halves the first HBM read of each batch)
+        return jax.random.uniform(key, (scan_len, batch, 224, 224, 3),
+                                  jnp.bfloat16)
 
     @jax.jit
     def run(p, X):
