@@ -115,10 +115,101 @@ def bench_aggregator_train(n_bags: int = 256, n_inst: int = 1024,
     }
 
 
+def bench_stream(side: int = 8192, tissue_frac: float = 0.6,
+                 batch_size: int = 128) -> dict:
+    """End-to-end slide -> features: synthetic pyramidal TIFF, host tiling +
+    background filter + device embedding, measured as one pipeline.
+
+    vs_baseline compares against the reference's two-stage architecture
+    (deepzoom_tiler.py: tile to JPEG folder, then compute_feats.py: re-decode
+    and embed) executed by this framework's own tiler + extractor on the same
+    host and chip — isolating the win of streaming (no JPEG round-trip).
+    NOTE: this container's host has ONE CPU core; both paths are host-bound
+    here, and real TPU-VM hosts (many cores) shift both up substantially.
+    """
+    import shutil
+    import tempfile
+
+    import jax
+
+    from tpumil.data.tiler import TilerConfig, tile_slide
+    from tpumil.infer.features import FeatureExtractor
+    from tpumil.infer.stream_embed import embed_slide_streaming
+    from tpumil.models import embedder
+    from tpumil.models.embedder import EmbedderConfig
+    from tpumil.utils import native
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        # synthetic slide: white background + textured tissue block, written
+        # as a tiled JPEG pyramidal TIFF (the layout of real scanner output)
+        # via the native writer; PIL stripped fallback if the .so isn't built
+        img = np.full((side, side, 3), 255, np.uint8)
+        t = int(side * tissue_frac)
+        img[:t, :t] = (rng.random((t, t, 3)) * 200 + 20).astype(np.uint8)
+        slide_path = os.path.join(tmp, "cls", "slide.tif")
+        os.makedirs(os.path.dirname(slide_path))
+        desc = "Aperio Fake |AppMag = 20|"
+        if native.available():
+            native.write_tiled_pyramid(slide_path, img, tile=256, levels=3,
+                                       quality=75, description=desc)
+        else:
+            from PIL import Image
+
+            pages = [Image.fromarray(img)]
+            for _ in range(2):
+                p = pages[-1]
+                pages.append(p.resize((p.width // 2, p.height // 2)))
+            pages[0].save(slide_path, save_all=True, append_images=pages[1:],
+                          description=desc)
+            del pages
+        del img
+
+        cfg = EmbedderConfig(backbone="resnet18", norm="instance",
+                             num_classes=1, space_to_depth=True)
+        params = embedder.init_params(jax.random.PRNGKey(0), cfg)
+        ex = FeatureExtractor(params, cfg, batch_size=batch_size)
+        # compile for the uint8 batches both paths ship
+        ex.embed_arrays(np.zeros((batch_size, 224, 224, 3), np.uint8))
+
+        tcfg = TilerConfig(tile_size=224, overlap=0, base_mag=20.0)
+
+        # streaming path (ours)
+        feats, pos, stats = embed_slide_streaming(
+            slide_path, ex, (0,), tcfg, batch_size=batch_size)
+        stream_s = stats.seconds
+
+        # reference architecture: tile to JPEGs, then re-decode + embed
+        t0 = time.perf_counter()
+        folder = os.path.join(tmp, "patches")
+        tile_slide(slide_path, folder, (0,), tcfg)
+        import glob as _glob
+
+        jpgs = sorted(_glob.glob(os.path.join(folder, "*", "*", "*.jpeg")))
+        feats2 = ex.embed_paths(jpgs)
+        two_stage_s = time.perf_counter() - t0
+
+        assert len(feats) > 0 and len(feats2) == len(feats), \
+            f"path mismatch: stream {len(feats)} vs folder {len(feats2)}"
+        return {
+            "metric": "e2e_slide_throughput",
+            "value": round(60.0 / stream_s, 2),
+            "unit": (f"slides/min (8k^2 synthetic WSI -> {len(feats)} patch "
+                     f"feats, streaming, incl. host tiling on 1 CPU core; "
+                     f"{len(feats) / stream_s:.0f} patches/s e2e)"),
+            "vs_baseline": round(two_stage_s / stream_s, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     mode = os.environ.get("BENCH_MODE", "feats")
     if mode == "aggregator":
         result = bench_aggregator_train()
+    elif mode == "stream":
+        result = bench_stream()
     else:
         result = bench_feature_extraction()
     print(json.dumps(result))

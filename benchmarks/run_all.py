@@ -130,8 +130,16 @@ def bench_simclr():
             "vs_baseline": round(256 / dt / 1250.0, 2)}
 
 
+def bench_stream():
+    sys.path.insert(0, ".")
+    from bench import bench_stream as bs
+
+    return bs()
+
+
 SUITES = {"feats": bench_feats, "agg": bench_agg, "pallas": bench_pallas,
-          "pallas_train": bench_pallas_train, "simclr": bench_simclr}
+          "pallas_train": bench_pallas_train, "simclr": bench_simclr,
+          "stream": bench_stream}
 
 
 def main():

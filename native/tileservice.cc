@@ -244,6 +244,30 @@ struct TiffHandle {
   TIFF* tif;
   std::vector<int> dir_by_level;    // directory index per level (area desc)
   std::vector<uint32_t> widths, heights;
+  // FIFO cache of decoded source tiles: region reads at DeepZoom tile sizes
+  // (224) overlap the underlying TIFF tiles (256), so without a cache every
+  // source tile is JPEG-decoded ~3-4x. Keyed by (level, ty, tx).
+  struct CachedTile {
+    uint64_t key;
+    std::vector<uint32_t> px;
+  };
+  std::vector<CachedTile> cache;
+  size_t cache_next = 0;
+  static constexpr size_t kCacheTiles = 64;  // 64 x 256^2 RGBA = 16 MB max
+
+  const std::vector<uint32_t>* cache_get(uint64_t key) const {
+    for (const auto& c : cache)
+      if (c.key == key) return &c.px;
+    return nullptr;
+  }
+  void cache_put(uint64_t key, std::vector<uint32_t>&& px) {
+    if (cache.size() < kCacheTiles) {
+      cache.push_back({key, std::move(px)});
+    } else {
+      cache[cache_next] = {key, std::move(px)};
+      cache_next = (cache_next + 1) % kCacheTiles;
+    }
+  }
 };
 
 void* ts_tiff_open(const char* path) {
@@ -317,12 +341,21 @@ int ts_tiff_read_region(void* handle, int level, int x, int y, int w, int hh,
     uint32_t tw = 0, th = 0;
     TIFFGetField(tif, TIFFTAG_TILEWIDTH, &tw);
     TIFFGetField(tif, TIFFTAG_TILELENGTH, &th);
-    std::vector<uint32_t> tile(static_cast<size_t>(tw) * th);
     // clamp BOTH coordinates before the unsigned division — a negative y
     // would wrap to a huge uint32 and skip the loop entirely
     for (uint32_t ty = (std::max(0, y) / th) * th; ty < static_cast<uint32_t>(y + hh) && ty < img_h; ty += th) {
       for (uint32_t tx = (std::max(0, x) / tw) * tw; tx < static_cast<uint32_t>(x + w) && tx < img_w; tx += tw) {
-        if (!TIFFReadRGBATile(tif, tx, ty, tile.data())) continue;
+        uint64_t key = (static_cast<uint64_t>(level) << 48)
+                     | (static_cast<uint64_t>(ty / th) << 24) | (tx / tw);
+        const std::vector<uint32_t>* cached = h->cache_get(key);
+        std::vector<uint32_t> fresh;
+        if (!cached) {
+          fresh.resize(static_cast<size_t>(tw) * th);
+          if (!TIFFReadRGBATile(tif, tx, ty, fresh.data())) continue;
+          h->cache_put(key, std::move(fresh));
+          cached = h->cache_get(key);
+        }
+        const std::vector<uint32_t>& tile = *cached;
         // RGBA tile is bottom-up
         for (uint32_t ry = 0; ry < th; ++ry) {
           int gy = static_cast<int>(ty + ry);
@@ -362,6 +395,84 @@ int ts_tiff_read_region(void* handle, int level, int x, int y, int w, int hh,
       }
     }
   }
+  return 0;
+}
+
+// 1 iff the level's directory uses a tiled layout (the production fast path;
+// stripped directories decode whole pages per read and should be served by
+// the caching PIL backend instead — see tpumil/data/slide.py).
+int ts_tiff_is_tiled(void* handle, int level) {
+  auto* h = static_cast<TiffHandle*>(handle);
+  if (level < 0 || level >= static_cast<int>(h->dir_by_level.size())) return 0;
+  TIFFSetDirectory(h->tif, h->dir_by_level[level]);
+  return TIFFIsTiled(h->tif) ? 1 : 0;
+}
+
+// Write a tiled JPEG-compressed pyramidal TIFF (the layout of real scanner
+// output, e.g. Aperio .svs) from a full-resolution RGB buffer. Levels are
+// 2x box-downsampled. Returns 0 on success. Used to synthesize realistic
+// benchmark/test slides without scanner data.
+int ts_write_tiled_pyramid(const char* path, const uint8_t* img, int w,
+                           int h, int tile, int levels, int quality,
+                           const char* desc) {
+  TIFF* tif = TIFFOpen(path, "w");
+  if (!tif) return -1;
+  std::vector<uint8_t> cur(img, img + static_cast<size_t>(w) * h * 3);
+  int lw = w, lh = h;
+  std::vector<uint8_t> tbuf(static_cast<size_t>(tile) * tile * 3);
+  for (int lv = 0; lv < levels; ++lv) {
+    TIFFSetField(tif, TIFFTAG_IMAGEWIDTH, static_cast<uint32_t>(lw));
+    TIFFSetField(tif, TIFFTAG_IMAGELENGTH, static_cast<uint32_t>(lh));
+    TIFFSetField(tif, TIFFTAG_SAMPLESPERPIXEL, 3);
+    TIFFSetField(tif, TIFFTAG_BITSPERSAMPLE, 8);
+    TIFFSetField(tif, TIFFTAG_PLANARCONFIG, PLANARCONFIG_CONTIG);
+    TIFFSetField(tif, TIFFTAG_PHOTOMETRIC, PHOTOMETRIC_RGB);
+    TIFFSetField(tif, TIFFTAG_COMPRESSION, COMPRESSION_JPEG);
+    TIFFSetField(tif, TIFFTAG_JPEGQUALITY, quality);
+    TIFFSetField(tif, TIFFTAG_TILEWIDTH, static_cast<uint32_t>(tile));
+    TIFFSetField(tif, TIFFTAG_TILELENGTH, static_cast<uint32_t>(tile));
+    if (lv == 0 && desc && desc[0])
+      TIFFSetField(tif, TIFFTAG_IMAGEDESCRIPTION, desc);
+    if (lv > 0) TIFFSetField(tif, TIFFTAG_SUBFILETYPE, FILETYPE_REDUCEDIMAGE);
+    for (int ty = 0; ty < lh; ty += tile) {
+      for (int tx = 0; tx < lw; tx += tile) {
+        memset(tbuf.data(), 0, tbuf.size());
+        int ch = std::min(tile, lh - ty), cw = std::min(tile, lw - tx);
+        for (int ry = 0; ry < ch; ++ry)
+          memcpy(&tbuf[(static_cast<size_t>(ry) * tile) * 3],
+                 &cur[(static_cast<size_t>(ty + ry) * lw + tx) * 3],
+                 static_cast<size_t>(cw) * 3);
+        if (TIFFWriteTile(tif, tbuf.data(), tx, ty, 0, 0) < 0) {
+          TIFFClose(tif);
+          return -2;
+        }
+      }
+    }
+    if (!TIFFWriteDirectory(tif)) {
+      TIFFClose(tif);
+      return -3;
+    }
+    if (lv + 1 < levels) {  // 2x box downsample for the next level
+      int nw = std::max(1, lw / 2), nh = std::max(1, lh / 2);
+      std::vector<uint8_t> nxt(static_cast<size_t>(nw) * nh * 3);
+      for (int yy = 0; yy < nh; ++yy)
+        for (int xx = 0; xx < nw; ++xx)
+          for (int c = 0; c < 3; ++c) {
+            int y0 = 2 * yy, x0 = 2 * xx;
+            int y1 = std::min(y0 + 1, lh - 1), x1 = std::min(x0 + 1, lw - 1);
+            int s = cur[(static_cast<size_t>(y0) * lw + x0) * 3 + c]
+                  + cur[(static_cast<size_t>(y0) * lw + x1) * 3 + c]
+                  + cur[(static_cast<size_t>(y1) * lw + x0) * 3 + c]
+                  + cur[(static_cast<size_t>(y1) * lw + x1) * 3 + c];
+            nxt[(static_cast<size_t>(yy) * nw + xx) * 3 + c] =
+                static_cast<uint8_t>((s + 2) / 4);
+          }
+      cur.swap(nxt);
+      lw = nw;
+      lh = nh;
+    }
+  }
+  TIFFClose(tif);
   return 0;
 }
 

@@ -179,6 +179,13 @@ class NativeTiffBackend(SlideBackend):
         from tpumil.utils.native import NativeTiff
 
         self._tif = NativeTiff(path)
+        if not self._tif.is_tiled:
+            # stripped layout: libtiff must decode the whole page per region
+            # read (measured 0.14 s/tile on a 6k² slide) — the caching PIL
+            # backend is the right engine for those; real scanner files are
+            # tiled and stay on this path
+            self._tif.close()
+            raise IOError(f"{path} is a stripped TIFF; use TiffBackend")
         self.level_dimensions = list(self._tif.level_dimensions)
         self.properties = {}
         if "AppMag" in self._tif.description:

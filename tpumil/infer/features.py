@@ -48,7 +48,15 @@ class FeatureExtractor:
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.num_workers = num_workers
-        self._fwd = jax.jit(lambda p, x: embedder.forward(p, x, cfg))
+
+        def _embed(p, x):
+            # uint8 batches are normalized on-device: the same f32 /255 as
+            # the host path (bit-identical), but 4x less host work/transfer
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0
+            return embedder.forward(p, x, cfg)
+
+        self._fwd = jax.jit(_embed)
         self.stats = ExtractorStats()
 
     def embed_paths(self, paths: Sequence[str]) -> np.ndarray:
@@ -56,7 +64,8 @@ class FeatureExtractor:
         if not paths:
             return np.zeros((0, self.cfg.num_feats), np.float32)
         loader = patch_data.PatchBatchLoader(
-            paths, self.batch_size, self.patch_size, self.num_workers)
+            paths, self.batch_size, self.patch_size, self.num_workers,
+            out_dtype=np.uint8)
         outs: List[np.ndarray] = []
         pending = []  # (device_feats, n_valid) — keep a small pipeline
         t0 = time.perf_counter()

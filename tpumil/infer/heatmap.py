@@ -60,7 +60,12 @@ class BagInference:
         self.patch_size = patch_size
         self.num_workers = num_workers
         self.model = model
-        self._embed = jax.jit(lambda p, x: embedder.forward(p, x, emb_cfg))
+        def _embed_fn(p, x):
+            if x.dtype == jnp.uint8:  # on-device /255 (bit-identical f32 op)
+                x = x.astype(jnp.float32) / 255.0
+            return embedder.forward(p, x, emb_cfg)
+
+        self._embed = jax.jit(_embed_fn)
         self._aggregate = jax.jit(
             lambda p, feats, c, mask: mil.forward(p, feats, mask, ins_logits=c))
 
@@ -73,7 +78,8 @@ class BagInference:
             raise FileNotFoundError(f"no *.{patch_ext} patches in {bag_dir}")
         positions = np.asarray([patch_data.parse_position(p) for p in paths])
         loader = patch_data.PatchBatchLoader(paths, self.batch_size,
-                                             self.patch_size, self.num_workers)
+                                             self.patch_size, self.num_workers,
+                                             out_dtype=np.uint8)
         feats_parts, logits_parts = [], []
         for batch, n_valid, _ in loader:
             f, c = self._embed(self.emb_params, jnp.asarray(batch))

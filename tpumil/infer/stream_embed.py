@@ -68,18 +68,41 @@ def embed_slide_streaming(slide_path: str, extractor: FeatureExtractor,
         stats.tiles_total = len(addrs)
 
         def fetch(addr):
+            """Read only — the background filter runs batched in the
+            producer (one native call per chunk instead of per tile: the
+            per-call ctypes overhead dominated at 1-tile granularity)."""
             try:
-                tile = dz.get_tile(dz_level, addr)
+                return addr, dz.get_tile(dz_level, addr)
             except Exception:
                 return addr, None
-            if edge_energy(tile, cfg.tile_size) <= cfg.background_threshold:
-                return addr, None
-            if tile.shape[:2] != (cfg.tile_size, cfg.tile_size):
-                from PIL import Image
 
-                tile = np.asarray(Image.fromarray(tile).resize(
-                    (cfg.tile_size, cfg.tile_size)))
-            return addr, tile
+        def filter_chunk(items):
+            """[(addr, tile)] -> kept [(addr, tile_resized)]."""
+            square = [(a, t) for a, t in items
+                      if t is not None and t.shape[:2] == (cfg.tile_size,
+                                                           cfg.tile_size)]
+            ragged = [(a, t) for a, t in items
+                      if t is not None and t.shape[:2] != (cfg.tile_size,
+                                                           cfg.tile_size)]
+            kept = []
+            if square:
+                from tpumil.utils import native
+
+                if native.available():
+                    energies = native.edge_energy_batch(
+                        np.stack([t for _, t in square]),
+                        num_threads=cfg.workers)
+                else:
+                    energies = [edge_energy(t, cfg.tile_size) for _, t in square]
+                kept = [(a, t) for (a, t), e in zip(square, energies)
+                        if e > cfg.background_threshold]
+            for a, t in ragged:  # edge-of-slide tiles: filter then resize
+                if edge_energy(t, cfg.tile_size) > cfg.background_threshold:
+                    from PIL import Image
+
+                    kept.append((a, np.asarray(Image.fromarray(t).resize(
+                        (cfg.tile_size, cfg.tile_size)))))
+            return kept
 
         q: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
@@ -97,10 +120,11 @@ def embed_slide_streaming(slide_path: str, extractor: FeatureExtractor,
             try:
                 batch: List[np.ndarray] = []
                 pos: List[Tuple[int, int]] = []
-                with ThreadPoolExecutor(cfg.workers) as pool:
-                    for addr, tile in pool.map(fetch, addrs):
-                        if tile is None:
-                            continue
+                pending: List[Tuple[Tuple[int, int], Optional[np.ndarray]]] = []
+
+                def emit(kept) -> bool:
+                    nonlocal batch, pos
+                    for addr, tile in kept:
                         if write_patch_dir is not None:
                             from PIL import Image
 
@@ -109,15 +133,28 @@ def embed_slide_streaming(slide_path: str, extractor: FeatureExtractor,
                                 os.path.join(write_patch_dir,
                                              f"{addr[0]}_{addr[1]}.{cfg.format}"),
                                 quality=cfg.quality)
-                        batch.append(tile.astype(np.float32) / 255.0)
+                        # ship uint8; the extractor normalizes on-device
+                        # (bit-identical f32 /255, 4x less host work/transfer)
+                        batch.append(tile)
                         pos.append(addr)
                         if len(batch) == batch_size:
                             if not put_or_stop((np.stack(batch), pos)):
-                                return
+                                return False
                             batch, pos = [], []
+                    return True
+
+                with ThreadPoolExecutor(cfg.workers) as pool:
+                    for item in pool.map(fetch, addrs):
+                        pending.append(item)
+                        if len(pending) >= batch_size:
+                            if not emit(filter_chunk(pending)):
+                                return
+                            pending = []
+                if pending and not emit(filter_chunk(pending)):
+                    return
                 if batch:
                     pad = np.zeros((batch_size - len(batch),) + batch[0].shape,
-                                   np.float32)
+                                   np.uint8)
                     put_or_stop((np.concatenate([np.stack(batch), pad]), pos))
             except Exception as e:  # surface errors; never strand the consumer
                 put_or_stop(e)

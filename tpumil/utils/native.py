@@ -61,6 +61,16 @@ def _load():
                 lib.ts_tiff_description.restype = ctypes.c_int
                 lib.ts_tiff_description.argtypes = [
                     ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+                # added in round 2 — older .so builds lack them
+                if hasattr(lib, "ts_tiff_is_tiled"):
+                    lib.ts_tiff_is_tiled.restype = ctypes.c_int
+                    lib.ts_tiff_is_tiled.argtypes = [ctypes.c_void_p, ctypes.c_int]
+                if hasattr(lib, "ts_write_tiled_pyramid"):
+                    lib.ts_write_tiled_pyramid.restype = ctypes.c_int
+                    lib.ts_write_tiled_pyramid.argtypes = [
+                        ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int,
+                        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                        ctypes.c_char_p]
                 _LIB = lib
                 return lib
         _LIB = False
@@ -124,6 +134,25 @@ def edge_energy_batch(imgs_u8: np.ndarray, num_threads: int = 8) -> np.ndarray:
     return out
 
 
+def write_tiled_pyramid(path: str, img: np.ndarray, tile: int = 256,
+                        levels: int = 3, quality: int = 75,
+                        description: str = "") -> None:
+    """Write a tiled JPEG-compressed pyramidal TIFF (the layout of real
+    scanner files like Aperio .svs) from a full-resolution RGB uint8 image.
+    Synthesizes realistic slides for benches/tests without scanner data."""
+    lib = _load()
+    if not lib or not hasattr(lib, "ts_write_tiled_pyramid"):
+        raise RuntimeError("native tile service not built (make -C native)")
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w = img.shape[:2]
+    rc = lib.ts_write_tiled_pyramid(path.encode(),
+                                    img.ctypes.data_as(ctypes.c_void_p),
+                                    w, h, tile, levels, quality,
+                                    description.encode())
+    if rc != 0:
+        raise IOError(f"tiled pyramid write failed ({rc}): {path}")
+
+
 class NativeTiff:
     """Pyramidal TIFF reader backed by libtiff (tiled reads, no full-page
     decode)."""
@@ -149,9 +178,11 @@ class NativeTiff:
         buf = ctypes.create_string_buffer(4096)
         n = lib.ts_tiff_description(self._h, buf, 4096)
         self.description = buf.value.decode(errors="replace") if n else ""
+        self.is_tiled = bool(lib.ts_tiff_is_tiled(self._h, 0)) \
+            if hasattr(lib, "ts_tiff_is_tiled") else True
 
     def read_region(self, level: int, x: int, y: int, w: int, h: int) -> np.ndarray:
-        out = np.zeros((h, w, 3), np.uint8)
+        out = np.empty((h, w, 3), np.uint8)  # ts_tiff_read_region memsets it
         with self._rlock:
             if not self._h:
                 raise IOError("TIFF handle closed")
