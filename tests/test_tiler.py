@@ -183,3 +183,180 @@ def test_milnet_average_matches_trainer(rng):
                               average=True)
     s_net = net.score(feats, average=True)
     np.testing.assert_allclose(s_net, s_tr[0], rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# overlap > 0: pinned against an independent transcription of the
+# openslide-python DeepZoomGenerator tile math (VERDICT round-1 item 6)
+# ---------------------------------------------------------------------------
+
+class _OpenSlideDZOracle:
+    """Geometry oracle: the openslide.deepzoom.DeepZoomGenerator algorithm
+    (limit_bounds=False) re-derived from its public semantics, reading
+    through the same SlideBackend. Used only in tests, as the golden for
+    DeepZoom's overlap geometry (reference deepzoom_tiler.py:160 passes
+    overlap straight to DeepZoomGenerator)."""
+
+    def __init__(self, slide, tile_size, overlap):
+        import math
+
+        self._osr = slide
+        self._ts = tile_size
+        self._ov = overlap
+        self._l_dimensions = list(slide.level_dimensions)
+        z_size = tuple(self._l_dimensions[0])
+        z_dimensions = [z_size]
+        while z_size[0] > 1 or z_size[1] > 1:
+            z_size = tuple(max(1, int(math.ceil(z / 2))) for z in z_size)
+            z_dimensions.append(z_size)
+        self._z_dimensions = tuple(reversed(z_dimensions))
+        self._t_dimensions = tuple(
+            (int(math.ceil(zw / tile_size)), int(math.ceil(zh / tile_size)))
+            for zw, zh in self._z_dimensions)
+        self._dz_levels = len(self._z_dimensions)
+        l0_z = tuple(2 ** (self._dz_levels - dz - 1)
+                     for dz in range(self._dz_levels))
+        self._l0_l = [slide.level_downsample(l)
+                      for l in range(slide.level_count)]
+        self._slide_from_dz = tuple(
+            slide.best_level_for_downsample(d) for d in l0_z)
+        self._l_z = tuple(l0_z[dz] / self._l0_l[self._slide_from_dz[dz]]
+                          for dz in range(self._dz_levels))
+
+    @property
+    def level_count(self):
+        return self._dz_levels
+
+    def level_tiles(self, dz_level):
+        return self._t_dimensions[dz_level]
+
+    def tile_info(self, dz_level, t_location):
+        import math
+
+        slide_level = self._slide_from_dz[dz_level]
+        tl = tuple(self._ov * int(t != 0) for t in t_location)
+        br = tuple(self._ov * int(t != t_lim - 1)
+                   for t, t_lim in zip(t_location, self._t_dimensions[dz_level]))
+        z_size = tuple(
+            min(self._ts, z_lim - self._ts * t) + a + b
+            for t, z_lim, a, b in zip(t_location, self._z_dimensions[dz_level], tl, br))
+        z_loc = tuple(self._ts * t for t in t_location)
+        l_loc = tuple(self._l_z[dz_level] * (z - a) for z, a in zip(z_loc, tl))
+        l0_loc = tuple(int(l * self._l0_l[slide_level]) for l in l_loc)
+        l_lim = self._l_dimensions[slide_level]
+        l_size = tuple(
+            int(min(math.ceil(self._l_z[dz_level] * dz), lim - math.ceil(l)))
+            for l, dz, lim in zip(l_loc, z_size, l_lim))
+        return (l0_loc, slide_level, l_size), z_size
+
+    def get_tile(self, dz_level, address):
+        (l0, slide_level, l_size), z_size = self.tile_info(dz_level, address)
+        region = self._osr.read_region(l0, slide_level, l_size)
+        if tuple(l_size) != tuple(z_size):
+            from PIL import Image
+
+            im = Image.fromarray(region)
+            im.thumbnail(z_size, Image.LANCZOS)  # shrink-only, as openslide
+            region = np.asarray(im)
+        return region
+
+
+@pytest.mark.parametrize("overlap", [1, 8])
+def test_deepzoom_overlap_matches_openslide_oracle(rng, overlap):
+    """Every tile of the top two dz levels of a single-level slide matches
+    the openslide DeepZoomGenerator oracle: size, origin, and (at the
+    unscaled level) exact pixel content."""
+    img = _make_synthetic_slide(rng, w=450, h=300, tissue_frac=1.0)
+    slide = ImageBackend(img)
+    dz = DeepZoom(slide, tile_size=128, overlap=overlap)
+    oracle = _OpenSlideDZOracle(slide, 128, overlap)
+    assert dz.level_count == oracle.level_count
+    top = dz.level_count - 1
+    assert dz.level_tiles(top) == oracle.level_tiles(top)
+    cols, rows = dz.level_tiles(top)
+    for row in range(rows):
+        for col in range(cols):
+            got = dz.get_tile(top, (col, row))
+            want = oracle.get_tile(top, (col, row))
+            (_, _, l_size), z_size = oracle.tile_info(top, (col, row))
+            assert got.shape[:2] == (z_size[1], z_size[0]), (col, row)
+            np.testing.assert_array_equal(got, want, err_msg=f"tile {col}_{row}")
+    # one dz level down (downsample 2 on a single-level slide): geometry only
+    # (content goes through LANCZOS on both sides with different shrink-fns)
+    lower = top - 1
+    assert dz.level_tiles(lower) == oracle.level_tiles(lower)
+    for addr in [(0, 0), (1, 1), (dz.level_tiles(lower)[0] - 1, 0)]:
+        got = dz.get_tile(lower, addr)
+        (_, _, _), z_size = oracle.tile_info(lower, addr)
+        assert got.shape[:2] == (z_size[1], z_size[0]), addr
+
+
+def test_deepzoom_overlap_goldens(rng):
+    """Hand-computed DeepZoom goldens: 450x300 slide, tile_size=128,
+    overlap=1 (tile sizes, addresses, pixel windows)."""
+    img = _make_synthetic_slide(rng, w=450, h=300, tissue_frac=1.0)
+    dz = DeepZoom(ImageBackend(img), tile_size=128, overlap=1)
+    top = dz.level_count - 1
+    assert dz.level_tiles(top) == (4, 3)
+    # corner (0,0): +1 only on the two interior edges
+    assert dz.get_tile(top, (0, 0)).shape == (129, 129, 3)
+    # interior (1,1): +1 on all four edges, window [127:257)
+    t11 = dz.get_tile(top, (1, 1))
+    assert t11.shape == (130, 130, 3)
+    np.testing.assert_array_equal(t11, img[127:257, 127:257])
+    # last column (3,0): 450 - 3*128 = 66 wide + 1 left overlap
+    assert dz.get_tile(top, (3, 0)).shape == (129, 67, 3)
+    # far corner (3,2): 300 - 2*128 = 44 high + 1 top overlap
+    t32 = dz.get_tile(top, (3, 2))
+    assert t32.shape == (45, 67, 3)
+    np.testing.assert_array_equal(t32, img[255:300, 383:450])
+
+
+def test_deepzoom_overlap_shared_pixels(rng):
+    """Adjacent overlap tiles share exactly 2*overlap pixels along the
+    shared edge (the halo each tile extends into its neighbour)."""
+    img = _make_synthetic_slide(rng, w=512, h=512, tissue_frac=1.0)
+    dz = DeepZoom(ImageBackend(img), tile_size=128, overlap=4)
+    top = dz.level_count - 1
+    t00 = dz.get_tile(top, (0, 0))
+    t10 = dz.get_tile(top, (1, 0))
+    t01 = dz.get_tile(top, (0, 1))
+    np.testing.assert_array_equal(t00[:, -8:], t10[:132, :8])
+    np.testing.assert_array_equal(t00[-8:, :], t01[:8, :132])
+
+
+def test_deepzoom_overlap_pyramid_levels(tmp_path, rng):
+    """On a pyramidal TIFF the dz level that lands exactly on slide level 1
+    (downsample 2, scale 1) matches the oracle bit-for-bit with overlap."""
+    img = _make_synthetic_slide(rng, w=512, h=384, tissue_frac=1.0)
+    path = _save_pyramidal_tiff(img, str(tmp_path / "p.tif"), levels=2)
+    slide = TiffBackend(path)
+    dz = DeepZoom(slide, tile_size=64, overlap=2)
+    oracle = _OpenSlideDZOracle(slide, 64, 2)
+    lvl = dz.level_count - 2  # downsample 2 -> slide level 1 (256x192)
+    assert dz.level_tiles(lvl) == oracle.level_tiles(lvl) == (4, 3)
+    for addr in [(0, 0), (1, 1), (3, 2), (3, 0), (0, 2)]:
+        got = dz.get_tile(lvl, addr)
+        want = oracle.get_tile(lvl, addr)
+        np.testing.assert_array_equal(got, want, err_msg=f"tile {addr}")
+
+
+def test_tile_slide_single_with_overlap(tmp_path, rng):
+    """The tiler with overlap>0 writes tile_size^2 files (the reference
+    resizes every non-square tile, deepzoom_tiler.py:62-63) at the same
+    addresses as overlap=0."""
+    from PIL import Image
+
+    img = _make_synthetic_slide(rng, w=512, h=512, tissue_frac=1.0)
+    path = str(tmp_path / "s.tif")
+    Image.fromarray(img).save(path)
+    out = str(tmp_path / "out")
+    cfg = TilerConfig(tile_size=128, overlap=4, background_threshold=0.0,
+                      workers=2, base_mag=20.0, objective=20.0)
+    tile_slide(path, out, (0,), cfg, img_class="x", slide_name="s")
+    files = sorted(glob.glob(os.path.join(out, "x", "s", "*.jpeg")))
+    assert len(files) == 16
+    addrs = {os.path.splitext(os.path.basename(f))[0] for f in files}
+    assert addrs == {f"{c}_{r}" for c in range(4) for r in range(4)}
+    for f in files:
+        assert Image.open(f).size == (128, 128)

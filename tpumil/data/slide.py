@@ -283,12 +283,16 @@ class DeepZoom:
         dz_downsample = 2 ** (self.level_count - 1 - dz_level)
         slide_level = self.slide.best_level_for_downsample(dz_downsample)
         ds = self.slide.level_downsample(slide_level)
-        # region in slide-level pixels
+        # region in slide-level pixels: ceil the size and clamp to the level
+        # bounds, matching openslide.deepzoom's l_size math (size up, never
+        # past the level edge)
         scale = dz_downsample / ds
-        sw = max(1, int(round(w * scale)))
-        sh = max(1, int(round(h * scale)))
+        lw_l, lh_l = self.slide.level_dimensions[slide_level]
+        lx, ly = x * scale, y * scale
+        sw = max(1, min(math.ceil(scale * w), lw_l - math.ceil(lx)))
+        sh = max(1, min(math.ceil(scale * h), lh_l - math.ceil(ly)))
         region = self.slide.read_region(
-            (int(x * dz_downsample), int(y * dz_downsample)), slide_level, (sw, sh))
+            (int(lx * ds), int(ly * ds)), slide_level, (sw, sh))
         if (sw, sh) != (w, h):
             from PIL import Image
 

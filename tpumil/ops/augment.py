@@ -26,13 +26,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _random_resized_crop(key, img, out_size: int, scale=(0.08, 1.0),
-                         ratio=(3.0 / 4.0, 4.0 / 3.0), attempts: int = 10):
-    h, w = img.shape[0], img.shape[1]
+def rrc_params(key, h: int, w: int, scale=(0.08, 1.0),
+               ratio=(3.0 / 4.0, 4.0 / 3.0), attempts: int = 10):
+    """RandomResizedCrop crop-box sampling: returns (ch, cw, y0, x0) floats.
+
+    torchvision semantics: sample up to ``attempts`` (area, aspect) pairs,
+    take the FIRST that fits, else fall back to a full center crop —
+    clipping oversized draws would skew mass toward full-size crops.
+    """
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    # torchvision semantics: sample up to `attempts` (area, aspect) pairs,
-    # take the FIRST that fits, else fall back to a full center crop —
-    # clipping oversized draws would skew mass toward full-size crops.
     areas = h * w * jax.random.uniform(k1, (attempts,),
                                        minval=scale[0], maxval=scale[1])
     aspects = jnp.exp(jax.random.uniform(
@@ -49,6 +51,13 @@ def _random_resized_crop(key, img, out_size: int, scale=(0.08, 1.0),
     ch = jnp.where(any_valid, chs[first], jnp.float32(h))
     x0 = jnp.where(any_valid, jax.random.uniform(k3) * (w - cw), (w - cw) / 2)
     y0 = jnp.where(any_valid, jax.random.uniform(k4) * (h - ch), (h - ch) / 2)
+    return ch, cw, y0, x0
+
+
+def _random_resized_crop(key, img, out_size: int, scale=(0.08, 1.0),
+                         ratio=(3.0 / 4.0, 4.0 / 3.0), attempts: int = 10):
+    h, w = img.shape[0], img.shape[1]
+    ch, cw, y0, x0 = rrc_params(key, h, w, scale, ratio, attempts)
     # map the crop onto out_size x out_size: out = scale * in + translate
     sy = out_size / ch
     sx = out_size / cw
