@@ -130,6 +130,15 @@ def bench_simclr():
             "vs_baseline": round(256 / dt / 1250.0, 2)}
 
 
+def bench_crossover():
+    from fused_crossover import main as cross_main
+
+    rows = cross_main()
+    at16k = next(r for r in rows if r["n"] == 16384)
+    return {"metric": "fused_dispatch_speedup_16k", "value": at16k["fused_speedup"],
+            "unit": "x vs XLA scan step (see rows above)", "vs_baseline": None}
+
+
 def bench_stream():
     sys.path.insert(0, ".")
     from bench import bench_stream as bs
@@ -139,7 +148,7 @@ def bench_stream():
 
 SUITES = {"feats": bench_feats, "agg": bench_agg, "pallas": bench_pallas,
           "pallas_train": bench_pallas_train, "simclr": bench_simclr,
-          "stream": bench_stream}
+          "stream": bench_stream, "crossover": bench_crossover}
 
 
 def main():

@@ -109,3 +109,89 @@ def test_predict_order_and_average():
         np.testing.assert_allclose(scores[i], s_i[0], rtol=1e-4, atol=1e-5)
     avg, _ = trainer.predict(params, bags, average=True)
     assert np.all(avg >= scores - 1e-6)  # sum of two sigmoids >= one sigmoid
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas auto-dispatch for giant bags (VERDICT round-1 item 4)
+# ---------------------------------------------------------------------------
+
+def _clone(tree):
+    return jax.tree.map(jnp.copy, tree)
+
+
+def test_fused_auto_dispatch_giant_bag(rng):
+    """A 65,536-instance bag trains AND evaluates through the fused Pallas
+    path by default (no flag), with loss/param/score parity vs the XLA scan
+    path. A small bag in the same epoch stays on the XLA path."""
+    cfg = DSMILConfig(feats_size=64, num_classes=2)
+    labels = np.eye(2, dtype=np.float32)
+    bags = [
+        Bag(rng.standard_normal((65536 - 7, 64)).astype(np.float32), labels[0]),
+        Bag(rng.standard_normal((300, 64)).astype(np.float32), labels[1]),
+    ]
+    fused = BagTrainer(cfg)           # default threshold 16384
+    plain = BagTrainer(cfg, fused_threshold=None)
+    assert fused._use_fused(65536) and not fused._use_fused(8192)
+    assert not plain._use_fused(65536)
+
+    params, opt_state = fused.init(jax.random.PRNGKey(0))
+    p1, o1, l1 = fused.train_epoch(_clone(params), _clone(opt_state), bags,
+                                   lr=1e-4, rng=np.random.default_rng(3))
+    assert fused.fused_dispatches == 1  # the giant bucket only
+    p2, o2, l2 = plain.train_epoch(_clone(params), _clone(opt_state), bags,
+                                   lr=1e-4, rng=np.random.default_rng(3))
+    assert plain.fused_dispatches == 0
+    np.testing.assert_allclose(l1, l2, rtol=2e-4)
+    for k in ("i_fc", "fcc", "q"):
+        a = jax.tree.flatten(p1[k])[0]
+        b = jax.tree.flatten(p2[k])[0]
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-3, atol=2e-5)
+
+    s1, ls1 = fused.predict(p2, bags)
+    assert fused.fused_dispatches == 2
+    s2, ls2 = plain.predict(p2, bags)
+    np.testing.assert_allclose(s1, s2, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(ls1, ls2, rtol=2e-4, atol=1e-5)
+
+
+def test_fused_dispatch_device_store_epochs(rng):
+    """The single-bucket fused-epochs path (DeviceBagStore) matches the XLA
+    multi-epoch trajectory when the bucket crosses the threshold."""
+    from tpumil.data.device_store import DeviceBagStore
+
+    cfg = DSMILConfig(feats_size=32, num_classes=1)
+    bags = [Bag(rng.standard_normal((16000 + 100 * i, 32)).astype(np.float32),
+                np.asarray([i % 2], np.float32)) for i in range(3)]
+    store = DeviceBagStore(bags)
+    assert store.bucket_sizes == [16384]
+    fused = BagTrainer(cfg)
+    plain = BagTrainer(cfg, fused_threshold=None)
+    params, opt_state = fused.init(jax.random.PRNGKey(1))
+    lrs = [1e-4, 5e-5]
+    p1, o1, losses1 = fused.train_epochs(_clone(params), _clone(opt_state),
+                                         store, lrs, np.random.default_rng(5))
+    assert fused.fused_dispatches == 1
+    p2, o2, losses2 = plain.train_epochs(_clone(params), _clone(opt_state),
+                                         store, lrs, np.random.default_rng(5))
+    np.testing.assert_allclose(losses1, losses2, rtol=2e-4)
+    s1, _ = fused._predict_store(p1, store, average=False,
+                                 rng=np.random.default_rng(0))
+    s2, _ = plain._predict_store(p2, store, average=False,
+                                 rng=np.random.default_rng(0))
+    np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-4)
+
+
+def test_fused_dispatch_ineligible_configs():
+    """Patch dropout, abmil, passing_v, bf16 compute, and disabled threshold
+    all stay on the XLA path."""
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    assert not BagTrainer(cfg, dropout_patch=0.5)._use_fused(65536)
+    assert not BagTrainer(cfg, model="abmil")._use_fused(65536)
+    assert not BagTrainer(cfg, fused_threshold=None)._use_fused(65536)
+    cfg_pv = DSMILConfig(feats_size=16, num_classes=1, passing_v=True)
+    assert not BagTrainer(cfg_pv)._use_fused(65536)
+    cfg_bf = DSMILConfig(feats_size=16, num_classes=1,
+                         compute_dtype=jnp.bfloat16)
+    assert not BagTrainer(cfg_bf)._use_fused(65536)

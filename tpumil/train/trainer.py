@@ -68,6 +68,14 @@ class BagTrainer:
     min_bucket: int = 16
     eval_batch: int = 64
     model: str = "dsmil"  # reference --model dsmil|abmil (train_tcga.py:224-227)
+    # Buckets padded to >= this many instances run through the fused Pallas
+    # attention-pooling kernels (forward + streaming custom-VJP backward,
+    # O(tile) activation memory) instead of the XLA chain. The measured
+    # crossover on the v5e chip is ~16k instances (docs/PERF.md); None
+    # disables. Only the reference configuration is eligible (dsmil,
+    # nonlinear q, passing_v=False, no patch dropout).
+    fused_threshold: Optional[int] = 16384
+    fused_tile: int = 1024
 
     def __post_init__(self):
         from tpumil.models.registry import get_model
@@ -194,6 +202,125 @@ class BagTrainer:
         self._train_bucket_epochs = train_bucket_epochs
         self._eval_chunk = eval_chunk
 
+        # fused-kernel dispatch state (see _use_fused)
+        self._fused_eligible = (
+            self.model == "dsmil" and self.cfg.nonlinear
+            and not self.cfg.passing_v and self.dropout_patch == 0.0
+            and self.cfg.compute_dtype == jnp.float32
+            and self.fused_threshold is not None)
+        self._fused_fns_cache: dict = {}
+        self.fused_dispatches = 0  # observability + tests
+
+    # -- fused Pallas path for giant bags ------------------------------------
+
+    def _use_fused(self, nmax: int) -> bool:
+        """Giant-bag buckets route through the fused Pallas kernels
+        automatically: a 65k-instance Camelyon16 bag should hit the O(tile)
+        streaming path without the user knowing the flag exists."""
+        return (self._fused_eligible and nmax >= self.fused_threshold
+                and nmax % min(self.fused_tile, nmax) == 0)
+
+    def _fused_fns(self, nmax: int):
+        """Build (train_bucket, train_bucket_epochs, eval_bucket) over the
+        fused attention pooling for one tile size; cached per tile."""
+        tile = min(self.fused_tile, nmax)
+        if tile in self._fused_fns_cache:
+            return self._fused_fns_cache[tile]
+
+        from tpumil.models.dsmil import apply_q, instance_logits
+        from tpumil.ops.dsmil_pallas import fused_bag_forward, make_trainable_pool
+        from tpumil.ops.masked import masked_argmax, masked_max
+
+        interpret = jax.default_backend() != "tpu"  # Mosaic needs a TPU
+        pool = make_trainable_pool(tile_n=tile, nonlinear=True,
+                                   interpret=interpret)
+
+        def fused_loss(p, f, nv_arr, y, pw):
+            # bag_loss through the fused pool (same math as mil.forward for
+            # the eligible configuration; gradient parity pinned in
+            # tests/test_pallas_backward.py)
+            n = f.shape[0]
+            mask = jnp.arange(n) < nv_arr[0]
+            c_logits = instance_logits(p, f)
+            crit = masked_argmax(c_logits, mask, axis=0)
+            q_max = apply_q(p, f[crit])
+            q = p["q"]
+            bemb = pool(f, q["w0"], q["b0"], q["w2"], q["b2"], q_max, nv_arr)
+            bag_logits = jnp.einsum("ck,dck->d", bemb, p["fcc"]["w"]) \
+                + p["fcc"]["b"]
+            return dual_stream_loss(
+                bag_logits, masked_max(c_logits, mask, axis=0), y, pw)
+
+        def _gated(p, s, i, real, feats, n_valid, labels, lr, pw):
+            f = jnp.take(feats, i, axis=0)
+            nv = jnp.take(n_valid, i)[None]
+            y = jnp.take(labels, i, axis=0)
+            loss, grads = jax.value_and_grad(fused_loss)(p, f, nv, y, pw)
+            p2, s2 = self.optimizer.step(p, s, grads, lr)
+            p = jax.tree.map(lambda a, b: jnp.where(real, a, b), p2, p)
+            s = jax.tree.map(
+                lambda a, b: jnp.where(real, a, b) if hasattr(a, "dtype") else a,
+                s2, s)
+            return p, s, jnp.where(real, loss, 0.0)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fused_bucket(params, opt_state, feats, mask, labels, perm, lr,
+                         real, pw):
+            n_valid = jnp.sum(mask, axis=1).astype(jnp.int32)
+
+            def step(carry, xs):
+                p, s = carry
+                i, r = xs
+                p, s, loss = _gated(p, s, i, r, feats, n_valid, labels, lr, pw)
+                return (p, s), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                step, (params, opt_state), (perm, real))
+            return params, opt_state, jnp.sum(losses)
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fused_bucket_epochs(params, opt_state, feats, mask, labels, perms,
+                                lrs, real, pw):
+            n_valid = jnp.sum(mask, axis=1).astype(jnp.int32)
+
+            def epoch(carry, xs):
+                p, s = carry
+                perm, lr, r_flags = xs
+
+                def step(carry2, xs2):
+                    p2, s2 = carry2
+                    i, r = xs2
+                    p2, s2, loss = _gated(p2, s2, i, r, feats, n_valid,
+                                          labels, lr, pw)
+                    return (p2, s2), loss
+
+                (p, s), losses = jax.lax.scan(step, (p, s), (perm, r_flags))
+                return (p, s), jnp.sum(losses)
+
+            (params, opt_state), epoch_losses = jax.lax.scan(
+                epoch, (params, opt_state), (perms, lrs, real))
+            return params, opt_state, epoch_losses
+
+        @jax.jit
+        def fused_eval(params, feats, mask, labels, pw):
+            n_valid = jnp.sum(mask, axis=1).astype(jnp.int32)
+
+            def one(args):
+                f, nv, y = args
+                bag_logits, max_logits = fused_bag_forward(
+                    params, f, nv, tile_n=tile, interpret=interpret)
+                bag_l = bce_with_logits(bag_logits, y, pw)
+                max_l = bce_with_logits(max_logits, y, pw)
+                scores = jax.nn.sigmoid(bag_logits)
+                return (0.5 * bag_l + 0.5 * max_l, scores,
+                        scores + jax.nn.sigmoid(max_logits))
+
+            return jax.lax.map(one, (feats, n_valid, labels))
+
+        self._fused_fns_cache[tile] = (fused_bucket, fused_bucket_epochs,
+                                       fused_eval)
+        return self._fused_fns_cache[tile]
+
     # -- public API ---------------------------------------------------------
 
     def _pw(self):
@@ -221,11 +348,20 @@ class BagTrainer:
         lr = jnp.asarray(lr, jnp.float32)
         for idxs, nmax in bucketed_chunks(bags, order, self.chunk_size, self.min_bucket):
             feats, mask, labels = pad_bags([bags[i] for i in idxs], nmax)
-            keys = jax.random.split(
-                jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
-            params, opt_state, loss = self._train_chunk(
-                params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
-                jnp.asarray(labels), lr, keys, self._pw())
+            if self._use_fused(nmax):
+                fused_bucket, _, _ = self._fused_fns(nmax)
+                b = len(idxs)
+                params, opt_state, loss = fused_bucket(
+                    params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
+                    jnp.asarray(labels), jnp.arange(b), lr,
+                    jnp.ones((b,), bool), self._pw())
+                self.fused_dispatches += 1
+            else:
+                keys = jax.random.split(
+                    jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
+                params, opt_state, loss = self._train_chunk(
+                    params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
+                    jnp.asarray(labels), lr, keys, self._pw())
             total += float(loss)
         return params, opt_state, total / max(len(bags), 1)
 
@@ -260,12 +396,19 @@ class BagTrainer:
             pr = [self._bucket_perm(store, nmax, rng) for _ in range(e)]
             perms = jnp.asarray(np.stack([p for p, _ in pr]))
             real = jnp.asarray(np.stack([r for _, r in pr]))
-            keys = jax.random.split(
-                jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
-            ).reshape(e, b, 2)
-            params, opt_state, losses = self._train_bucket_epochs(
-                params, opt_state, feats, mask, labels, perms, lrs_j, keys,
-                real, self._pw())
+            if self._use_fused(nmax):
+                _, fused_epochs, _ = self._fused_fns(nmax)
+                params, opt_state, losses = fused_epochs(
+                    params, opt_state, feats, mask, labels, perms, lrs_j,
+                    real, self._pw())
+                self.fused_dispatches += 1
+            else:
+                keys = jax.random.split(
+                    jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
+                ).reshape(e, b, 2)
+                params, opt_state, losses = self._train_bucket_epochs(
+                    params, opt_state, feats, mask, labels, perms, lrs_j, keys,
+                    real, self._pw())
             return params, opt_state, (np.asarray(losses, np.float64)
                                        / max(store.num_bags, 1))
         totals = np.zeros((e,), np.float64)
@@ -285,11 +428,18 @@ class BagTrainer:
             feats, mask, labels = store.buckets[nmax]
             b = feats.shape[0]
             perm, real = self._bucket_perm(store, nmax, rng)
-            keys = jax.random.split(
-                jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
-            params, opt_state, loss = self._train_bucket(
-                params, opt_state, feats, mask, labels, jnp.asarray(perm),
-                lr, keys, jnp.asarray(real), self._pw())
+            if self._use_fused(nmax):
+                fused_bucket, _, _ = self._fused_fns(nmax)
+                params, opt_state, loss = fused_bucket(
+                    params, opt_state, feats, mask, labels, jnp.asarray(perm),
+                    lr, jnp.asarray(real), self._pw())
+                self.fused_dispatches += 1
+            else:
+                keys = jax.random.split(
+                    jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
+                params, opt_state, loss = self._train_bucket(
+                    params, opt_state, feats, mask, labels, jnp.asarray(perm),
+                    lr, keys, jnp.asarray(real), self._pw())
             total += float(loss)
         return params, opt_state, total / max(store.num_bags, 1)
 
@@ -311,11 +461,18 @@ class BagTrainer:
         order = list(range(len(bags)))
         for idxs, nmax in bucketed_chunks(bags, order, self.eval_batch, self.min_bucket):
             feats, mask, labels = pad_bags([bags[i] for i in idxs], nmax)
-            keys = jax.random.split(
-                jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
-            losses, scores, avg_scores = self._eval_chunk(
-                params, jnp.asarray(feats), jnp.asarray(mask),
-                jnp.asarray(labels), keys, self._pw())
+            if self._use_fused(nmax):
+                _, _, fused_eval = self._fused_fns(nmax)
+                losses, scores, avg_scores = fused_eval(
+                    params, jnp.asarray(feats), jnp.asarray(mask),
+                    jnp.asarray(labels), self._pw())
+                self.fused_dispatches += 1
+            else:
+                keys = jax.random.split(
+                    jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
+                losses, scores, avg_scores = self._eval_chunk(
+                    params, jnp.asarray(feats), jnp.asarray(mask),
+                    jnp.asarray(labels), keys, self._pw())
             chosen = avg_scores if average else scores
             for j, i in enumerate(idxs):
                 scores_out[i] = np.asarray(chosen[j])
@@ -329,10 +486,16 @@ class BagTrainer:
         for nmax in store.bucket_sizes:
             feats, mask, labels = store.buckets[nmax]
             b = feats.shape[0]
-            keys = jax.random.split(
-                jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
-            losses, scores, avg_scores = self._eval_chunk(
-                params, feats, mask, labels, keys, self._pw())
+            if self._use_fused(nmax):
+                _, _, fused_eval = self._fused_fns(nmax)
+                losses, scores, avg_scores = fused_eval(
+                    params, feats, mask, labels, self._pw())
+                self.fused_dispatches += 1
+            else:
+                keys = jax.random.split(
+                    jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
+                losses, scores, avg_scores = self._eval_chunk(
+                    params, feats, mask, labels, keys, self._pw())
             chosen = np.asarray(avg_scores if average else scores)
             idx = store.index[nmax]
             scores_out[idx] = chosen[:len(idx)]  # dummies sit past the reals
