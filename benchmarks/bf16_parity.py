@@ -1,0 +1,137 @@
+"""Quantify what bf16 feature extraction costs downstream (AUC/thresholds).
+
+bf16 instance-norm ResNet features correlate ~0.995 with f32 — but the
+BASELINE target is "AUC within 0.5%", so the question is what that feature
+noise does to the trained aggregator. This runs the synthetic end-to-end
+pipeline twice (identical patches, identical embedder weights, identical CV
+seeds) with only the embedder compute dtype changed, and reports the AUC
+and per-fold optimal-threshold shift. Result documented in docs/PERF.md;
+it sets the compute_feats --precision default.
+
+Design notes (found the hard way):
+  * the embedder is a random-init instance-norm ResNet18; its raw features
+    are nearly constant (mean 0.83, std 0.06), which stalls the aggregator.
+    Both precisions' features go through the SAME affine standardization
+    (statistics from the f32 run), standing in for what SimCLR pretraining
+    gives real pipelines.
+  * the texture amplitude is tuned so 5-fold AUC sits in the ~0.7-0.8 band:
+    unsaturated, so a precision-induced shift is visible (AUC pinned at 1.0
+    would measure nothing).
+  * three CV seeds per precision; the deltas' spread is reported so the
+    bf16 shift can be compared against seed noise.
+
+    python benchmarks/bf16_parity.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_patches(rng, n_slides=60, patches_per_slide=24, size=224,
+                 tumor_frac=0.15, amplitude=0.05):
+    """Weak-signal synthetic WSI patches: every patch is smooth
+    low-frequency texture; tumor slides hide fine 2x2 speckle in a fraction
+    of their patches (instance norm preserves spatial-frequency content, so
+    the embedder can see it — unlike brightness/contrast shifts)."""
+    slides = []
+    labels = []
+    for s in range(n_slides):
+        tumor = s % 2 == 0
+        n_tumor = max(1, int(rng.binomial(patches_per_slide, tumor_frac))) \
+            if tumor else 0
+        pats = []
+        for p in range(patches_per_slide):
+            base = rng.normal(0.5, 0.08, (size // 8, size // 8, 3))
+            img = np.repeat(np.repeat(base, 8, 0), 8, 1)
+            img += rng.normal(0.0, 0.02, img.shape)  # sensor noise
+            if p < n_tumor:
+                speck = rng.normal(0, 1, (size // 2, size // 2, 3))
+                img += amplitude * np.repeat(np.repeat(speck, 2, 0), 2, 1)
+            pats.append(np.clip(img, 0, 1))
+        slides.append(np.stack(pats).astype(np.float32))
+        labels.append(1.0 if tumor else 0.0)
+    return slides, np.asarray(labels, np.float32)
+
+
+def extract(slides, dtype_name):
+    import jax
+    import jax.numpy as jnp
+
+    from tpumil.infer.features import FeatureExtractor
+    from tpumil.models import embedder
+    from tpumil.models.embedder import EmbedderConfig
+
+    cfg = EmbedderConfig(
+        num_classes=1,
+        compute_dtype=jnp.bfloat16 if dtype_name == "bf16" else jnp.float32)
+    params = embedder.init_params(jax.random.PRNGKey(0), cfg)
+    ex = FeatureExtractor(params, cfg, batch_size=128,
+                          patch_size=slides[0].shape[1])
+    return [ex.embed_arrays(s) for s in slides]
+
+
+def run_cv(featsets, labels, seed):
+    from tpumil.data.bags import Bag
+    from tpumil.train.schemes import WSITrainConfig, run_5fold_cv
+
+    bags = [Bag(f, np.asarray([y], np.float32))
+            for f, y in zip(featsets, labels)]
+    cfg = WSITrainConfig(num_classes=1, num_epochs=40, stop_epochs=40,
+                         lr=2e-4, seed=seed, verbose=False, eval_interval=10)
+    return run_5fold_cv(bags, cfg, log=lambda s: None)
+
+
+def main():
+    rng = np.random.default_rng(42)
+    slides, labels = make_patches(rng)
+    raw = {dt: extract(slides, dt) for dt in ("f32", "bf16")}
+    x32 = np.concatenate(raw["f32"])
+    mu, sd = x32.mean(0), x32.std(0) + 1e-6
+    feats = {dt: [((f - mu) / sd).astype(np.float32) for f in raw[dt]]
+             for dt in raw}
+    corr = float(np.corrcoef(
+        np.concatenate([f.ravel() for f in feats["f32"]]),
+        np.concatenate([f.ravel() for f in feats["bf16"]]))[0, 1])
+
+    seeds = (0, 1, 2)
+    out = {dt: {"auc": [], "acc": [], "thresholds": []} for dt in feats}
+    for seed in seeds:
+        for dt in ("f32", "bf16"):
+            res = run_cv(feats[dt], labels, seed)
+            out[dt]["auc"].append(res["mean_auc"][0])
+            out[dt]["acc"].append(res["mean_accuracy"])
+            out[dt]["thresholds"].append(
+                [f["thresholds"][0] for f in res["folds"]])
+        print(json.dumps({"seed": seed,
+                          "f32_auc": round(out["f32"]["auc"][-1], 4),
+                          "bf16_auc": round(out["bf16"]["auc"][-1], 4)}),
+              flush=True)
+
+    deltas = [b - a for a, b in zip(out["f32"]["auc"], out["bf16"]["auc"])]
+    thr_shift = max(
+        abs(b - a)
+        for ta, tb in zip(out["f32"]["thresholds"], out["bf16"]["thresholds"])
+        for a, b in zip(ta, tb) if np.isfinite(a) and np.isfinite(b))
+    summary = {
+        "metric": "bf16_feature_auc_shift",
+        "value": round(float(np.mean(deltas)), 5),
+        "unit": "AUC(bf16) - AUC(f32), synthetic 5-fold CV, 3 seeds",
+        "delta_per_seed": [round(d, 5) for d in deltas],
+        "f32_auc_mean": round(float(np.mean(out["f32"]["auc"])), 5),
+        "bf16_auc_mean": round(float(np.mean(out["bf16"]["auc"])), 5),
+        "feature_corr": round(corr, 5),
+        "max_threshold_shift": round(float(thr_shift), 5),
+    }
+    print(json.dumps(summary), flush=True)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

@@ -139,6 +139,12 @@ def bench_crossover():
             "unit": "x vs XLA scan step (see rows above)", "vs_baseline": None}
 
 
+def bench_bf16():
+    from bf16_parity import main as bf16_main
+
+    return bf16_main()
+
+
 def bench_stream():
     sys.path.insert(0, ".")
     from bench import bench_stream as bs
@@ -148,7 +154,8 @@ def bench_stream():
 
 SUITES = {"feats": bench_feats, "agg": bench_agg, "pallas": bench_pallas,
           "pallas_train": bench_pallas_train, "simclr": bench_simclr,
-          "stream": bench_stream, "crossover": bench_crossover}
+          "stream": bench_stream, "crossover": bench_crossover,
+          "bf16": bench_bf16}
 
 
 def main():

@@ -28,3 +28,10 @@ def reference_available() -> bool:
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "parity_real: accuracy parity on real mounted datasets "
+        "(skips unless datasets/ is present; see tests/test_parity_real.py)")

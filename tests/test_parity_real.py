@@ -1,0 +1,129 @@
+"""Mount-activated accuracy parity vs the reference's published numbers
+(VERDICT round-1 item 7).
+
+The real Camelyon16 / TCGA-lung feature sets and the classic MIL datasets
+are not downloadable in this zero-egress container, so these tests activate
+when the data is mounted at the same ``datasets/`` layout the reference's
+``download.py`` produces (mirrored by ``tpumil.cli.download``):
+
+    datasets/Camelyon16/Camelyon16.csv       (download --dataset=c16)
+    datasets/tcga-dataset/TCGA.csv           (download --dataset=tcga)
+    datasets/mil_dataset/Musk/musk1norm.svm  (download --dataset=mil)
+
+Targets are the reference README tables (README.md:77-95, BASELINE.md) with
+the reference's own stated ±2% random-split tolerance (README.md:76).
+Run with ``pytest -k parity_real`` after mounting the data; everything
+skips cleanly when absent.
+
+The vendored-fixture test at the bottom always runs: it drives the same
+file-loading + run_mil_cv accuracy path on a committed musk1-format svm
+file, so the real-data path is one dataset mount away from proven.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+DATA = os.environ.get("TPUMIL_DATASETS", "datasets")
+
+
+def _skip_unless(path):
+    full = os.path.join(DATA, path)
+    if not os.path.exists(full):
+        pytest.skip(f"real dataset not mounted: {full}")
+    return full
+
+
+def _load_wsi_bags(master_csv, num_classes, dataset, tmp_path):
+    from tpumil.data.feature_store import BagCache, read_master_csv
+
+    cache = BagCache(str(tmp_path / "cache"))
+    cache.build(read_master_csv(master_csv), num_classes, dataset=dataset,
+                seed=0)
+    return cache.load_all()
+
+
+@pytest.mark.parity_real
+def test_parity_real_c16_5fold(tmp_path):
+    """Camelyon16 5-fold CV: acc 94.9% / AUC 0.961 (README.md:77-81) ±2%."""
+    csv = _skip_unless("Camelyon16/Camelyon16.csv")
+    from tpumil.train.schemes import WSITrainConfig, run_5fold_cv
+
+    bags = _load_wsi_bags(csv, 1, "Camelyon16", tmp_path)
+    cfg = WSITrainConfig(num_classes=1, feats_size=512, lr=1e-4,
+                         num_epochs=50, stop_epochs=10, seed=0, verbose=False)
+    res = run_5fold_cv(bags, cfg, log=lambda s: None)
+    assert abs(res["mean_auc"][0] - 0.961) <= 0.02, res
+    assert abs(res["mean_accuracy"] - 0.949) <= 0.02, res
+
+
+@pytest.mark.parity_real
+def test_parity_real_c16_standalone(tmp_path):
+    """Camelyon16 5-fold CV + standalone test: acc 92.4% / AUC 0.915
+    (README.md:82-85) ±2%."""
+    csv = _skip_unless("Camelyon16/Camelyon16.csv")
+    from tpumil.train.schemes import WSITrainConfig, run_5fold_cv_standalone_test
+
+    bags = _load_wsi_bags(csv, 1, "Camelyon16", tmp_path)
+    cfg = WSITrainConfig(num_classes=1, feats_size=512, lr=1e-4,
+                         num_epochs=50, stop_epochs=10, split=0.2, seed=0,
+                         verbose=False)
+    res = run_5fold_cv_standalone_test(bags, cfg, log=lambda s: None,
+                                       save_dir=str(tmp_path / "test"))
+    fold_auc = float(np.mean([f["aucs"][0] for f in res["folds"]]))
+    assert abs(fold_auc - 0.915) <= 0.02, res
+    assert abs(res["final"]["accuracy"] - 0.924) <= 0.02, res
+
+
+@pytest.mark.parity_real
+def test_parity_real_tcga_5fold(tmp_path):
+    """TCGA-lung 5-fold CV: acc 93.78% / AUC 0.981 (README.md:87-90) ±2%."""
+    csv = _skip_unless("tcga-dataset/TCGA.csv")
+    from tpumil.train.schemes import WSITrainConfig, run_5fold_cv
+
+    bags = _load_wsi_bags(csv, 2, "TCGA-lung-default", tmp_path)
+    cfg = WSITrainConfig(num_classes=2, feats_size=512, lr=1e-4,
+                         num_epochs=50, stop_epochs=10, seed=0, verbose=False)
+    res = run_5fold_cv(bags, cfg, log=lambda s: None)
+    assert abs(float(np.mean(res["mean_auc"])) - 0.981) <= 0.02, res
+    assert abs(res["mean_accuracy"] - 0.9378) <= 0.02, res
+
+
+@pytest.mark.parity_real
+def test_parity_real_musk1():
+    """Musk1 10-fold CV (train_mil.py defaults). The DSMIL paper reports
+    ~93.2% mean accuracy; the README grants ±2 (we allow ±3 for the tiny
+    47/45-bag dataset's split variance)."""
+    svm = _skip_unless("mil_dataset/Musk/musk1norm.svm")
+    from tpumil.data.mil_bench import parse_mil_file
+    from tpumil.train.schemes import MILBenchConfig, run_mil_cv
+
+    bags = parse_mil_file(svm, num_feats=166)
+    assert len(bags) == 92  # 47 positive + 45 negative molecule bags
+    cfg = MILBenchConfig(num_feats=166, verbose=False)
+    mean_acc, std_acc, _ = run_mil_cv(bags, cfg, log=lambda s: None)
+    assert abs(mean_acc - 0.932) <= 0.03, (mean_acc, std_acc)
+
+
+def test_mil_cv_on_vendored_musk1_format_fixture():
+    """Always-on stand-in for the real musk1 run: the committed
+    tests/data/musk1_mini.svm is in the exact musk1norm.svm format
+    (``inst:bag:+/-1`` ids, 1-indexed feature:value pairs, first line
+    consumed as header) and run_mil_cv must reach high accuracy on it
+    through the same parse -> pos_weight -> CV path."""
+    from tpumil.data.mil_bench import compute_pos_weight, parse_mil_file
+    from tpumil.train.schemes import MILBenchConfig, run_mil_cv
+
+    path = os.path.join(os.path.dirname(__file__), "data", "musk1_mini.svm")
+    bags = parse_mil_file(path, num_feats=166)
+    assert len(bags) == 30
+    assert all(b.feats.shape[1] == 166 for b in bags)
+    # -1 labels clip to 0 exactly as the reference's label handling
+    labels = sorted({float(b.label[0]) for b in bags})
+    assert labels == [0.0, 1.0]
+    assert 0.3 < compute_pos_weight(bags) < 3.0
+    cfg = MILBenchConfig(num_feats=166, num_epochs=40, cv_fold=10, seed=0,
+                         verbose=False)  # train_mil.py defaults
+    mean_acc, std_acc, fold_accs = run_mil_cv(bags, cfg, log=lambda s: None)
+    assert mean_acc >= 0.9, (mean_acc, fold_accs)

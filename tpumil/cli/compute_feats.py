@@ -32,8 +32,11 @@ def main(argv=None):
     parser.add_argument("--wsi_root", default="WSI", type=str)
     parser.add_argument("--out_root", default="datasets", type=str)
     parser.add_argument("--patch_size", default=224, type=int)
-    parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"],
-                        help="bf16: +45%% throughput; f32: exact torch parity")
+    parser.add_argument("--precision", default="f32", choices=["bf16", "f32"],
+                        help="f32: exact torch parity (default; 19k patches/s"
+                             ", 5.4x baseline); bf16: +65%% throughput but a"
+                             " measured AUC cost on weak-signal tasks"
+                             " (docs/PERF.md 'bf16 parity cost')")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 

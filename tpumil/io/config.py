@@ -47,7 +47,10 @@ class EmbedderStageConfig:
     weights_low: Optional[str] = None
     tree_fusion: str = "cat"
     patch_size: int = 224
-    precision: str = "bf16"
+    # f32 = parity default: bf16 features measurably shift downstream AUC on
+    # weak-signal tasks (benchmarks/bf16_parity.py, docs/PERF.md); bf16 is
+    # the opt-in throughput mode.
+    precision: str = "f32"
 
 
 @dataclasses.dataclass
