@@ -48,14 +48,16 @@ def bench_feature_extraction(batch: int = 128, scan_len: int = 256,
 
     @jax.jit
     def gen(key):
-        # bf16 inputs: the production pipeline ships decoded patches to HBM
-        # in bf16 (halves the first HBM read of each batch)
-        return jax.random.uniform(key, (scan_len, batch, 224, 224, 3),
-                                  jnp.bfloat16)
+        # uint8 inputs + on-device /255: the production pipeline ships
+        # decoded patches to HBM as uint8 (features.py/stream_embed.py), so
+        # the bench measures the same first-HBM-read traffic (1 byte/elt)
+        return jax.random.randint(key, (scan_len, batch, 224, 224, 3),
+                                  0, 256, jnp.uint8)
 
     @jax.jit
     def run(p, X):
         def body(_, x):
+            x = x.astype(jnp.float32) / 255.0
             return None, jnp.sum(embedder.forward(p, x, cfg)[0])
         _, sums = jax.lax.scan(body, None, X)
         return jnp.sum(sums)
@@ -151,7 +153,7 @@ def bench_stream(side: int = 8192, tissue_frac: float = 0.6,
         slide_path = os.path.join(tmp, "cls", "slide.tif")
         os.makedirs(os.path.dirname(slide_path))
         desc = "Aperio Fake |AppMag = 20|"
-        if native.available():
+        if native.can_write_pyramid():
             native.write_tiled_pyramid(slide_path, img, tile=256, levels=3,
                                        quality=75, description=desc)
         else:

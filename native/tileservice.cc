@@ -252,8 +252,10 @@ struct TiffHandle {
     std::vector<uint32_t> px;
   };
   std::vector<CachedTile> cache;
-  size_t cache_next = 0;
-  static constexpr size_t kCacheTiles = 64;  // 64 x 256^2 RGBA = 16 MB max
+  size_t cache_bytes = 0;
+  // byte-bounded, not entry-bounded: scanner tiles range from 240 to 1024
+  // px, so a fixed entry count would hold 4 MB..256 MB depending on file
+  static constexpr size_t kCacheBytes = 32u << 20;  // 32 MB per open handle
 
   const std::vector<uint32_t>* cache_get(uint64_t key) const {
     for (const auto& c : cache)
@@ -261,11 +263,13 @@ struct TiffHandle {
     return nullptr;
   }
   void cache_put(uint64_t key, std::vector<uint32_t>&& px) {
-    if (cache.size() < kCacheTiles) {
-      cache.push_back({key, std::move(px)});
-    } else {
-      cache[cache_next] = {key, std::move(px)};
-      cache_next = (cache_next + 1) % kCacheTiles;
+    const size_t sz = px.size() * sizeof(uint32_t);
+    if (sz > kCacheBytes) return;  // never cache a tile bigger than the cap
+    cache_bytes += sz;
+    cache.push_back({key, std::move(px)});
+    while (cache_bytes > kCacheBytes) {  // FIFO eviction by bytes
+      cache_bytes -= cache.front().px.size() * sizeof(uint32_t);
+      cache.erase(cache.begin());
     }
   }
 };

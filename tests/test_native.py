@@ -145,3 +145,68 @@ def test_native_tiff_negative_y(tmp_path, rng):
     np.testing.assert_array_equal(out[:8], 0)
     np.testing.assert_array_equal(out[8:], img[0:24, 0:32])
     nat.close()
+
+
+def test_write_tiled_pyramid_roundtrip(tmp_path, rng):
+    """The native pyramid writer produces a tiled JPEG TIFF that the native
+    reader routes to the tiled path (is_tiled), with level geometry and
+    near-lossless content (q=95 JPEG) and the AppMag description intact."""
+    if not native.can_write_pyramid():
+        pytest.skip("pyramid writer not in this .so build")
+    img = (rng.random((512, 768, 3)) * 200 + 20).astype(np.uint8)
+    path = str(tmp_path / "scanner.tif")
+    native.write_tiled_pyramid(path, img, tile=256, levels=3, quality=95,
+                               description="Fake |AppMag = 20|")
+    nat = native.NativeTiff(path)
+    assert nat.is_tiled
+    assert nat.level_count == 3
+    assert list(nat.level_dimensions) == [(768, 512), (384, 256), (192, 128)]
+    assert "AppMag = 20" in nat.description
+    got = nat.read_region(0, 100, 50, 128, 96)
+    assert got.shape == (96, 128, 3)
+    err = np.abs(got.astype(np.int16) - img[50:146, 100:228].astype(np.int16))
+    assert err.mean() < 4.0  # JPEG q=95
+    nat.close()
+
+
+def test_stripped_tiff_routes_to_pil_backend(tmp_path, rng):
+    """Stripped (non-tiled) TIFFs must be rejected by NativeTiffBackend and
+    land on the caching PIL backend (slide.py routing) — libtiff would decode
+    the whole page per region read on those."""
+    from PIL import Image
+
+    from tpumil.data.slide import TiffBackend, open_slide
+
+    img = (rng.random((128, 128, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / "stripped.tif")
+    Image.fromarray(img).save(path)  # PIL writes stripped TIFFs
+    nat = native.NativeTiff(path)
+    assert not nat.is_tiled
+    nat.close()
+    backend = open_slide(path)
+    assert isinstance(backend, TiffBackend)
+    np.testing.assert_array_equal(backend.read_region((0, 0), 0, (64, 64)),
+                                  img[:64, :64])
+
+
+def test_tile_cache_eviction_correctness(tmp_path, rng):
+    """Reads stay byte-exact while the FIFO tile cache fills and evicts:
+    sweep far more source tiles than the 32 MB cap holds, then re-read
+    everything and compare against the original pixels."""
+    if not native.can_write_pyramid():
+        pytest.skip("pyramid writer not in this .so build")
+    side = 2048  # 8x8 = 64 tiles of 256^2; the sweep below revisits them
+    img = (rng.random((side, side, 3)) * 255).astype(np.uint8)
+    path = str(tmp_path / "big.tif")
+    native.write_tiled_pyramid(path, img, tile=256, levels=1, quality=100,
+                               description="")
+    nat = native.NativeTiff(path)
+    # overlapping 224-strided reads (the DeepZoom pattern) twice over
+    for _ in range(2):
+        for y in range(0, side - 224, 448):
+            for x in range(0, side - 224, 448):
+                got = nat.read_region(0, x, y, 224, 224)
+                want = img[y:y + 224, x:x + 224]
+                err = np.abs(got.astype(np.int16) - want.astype(np.int16))
+                assert err.max() <= 24 and err.mean() < 3.0, (x, y)  # q=100
+    nat.close()

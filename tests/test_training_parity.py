@@ -96,11 +96,13 @@ def test_per_bag_training_trajectory_matches_torch(rng):
     bag_objs = [Bag(f, l, str(i)) for i, (f, l) in enumerate(bags)]
     feats_p, mask_p, labels_p = pad_bags(bag_objs, nmax=32)
     keys = jax.random.split(jax.random.PRNGKey(0), len(bags))
+    perm = jnp.arange(len(bags))
+    real = jnp.ones((len(bags),), bool)
     for _ in range(3):
-        params_j, opt_state, total = trainer._train_chunk(
+        params_j, opt_state, total = trainer._train_bucket(
             params_j, opt_state, jnp.asarray(feats_p), jnp.asarray(mask_p),
-            jnp.asarray(labels_p), jnp.asarray(lr, jnp.float32), keys,
-            trainer._pw())
+            jnp.asarray(labels_p), perm, jnp.asarray(lr, jnp.float32), keys,
+            real, trainer._pw())
         jax_losses.append(float(total))
 
     torch_epoch_losses = [sum(torch_losses[e * 8:(e + 1) * 8]) for e in range(3)]

@@ -71,3 +71,21 @@ def test_optimal_thresh_matches_reference_formula():
 
 def test_current_score():
     assert metrics.current_score(0.8, [0.9, 0.7]) == pytest.approx((1.6 + 0.8) / 2)
+
+
+def test_decode_patch_high_bitdepth_parity(tmp_path, rng):
+    """Non-8-bit sources (16-bit grayscale PNG) decode identically on the
+    as_float and uint8 paths — convert('RGB') reduces bit depth before any
+    dtype cast, so nothing wraps."""
+    from PIL import Image
+
+    from tpumil.data.patches import decode_patch
+
+    arr16 = (rng.random((32, 32)) * 65535).astype(np.uint16)
+    path = str(tmp_path / "deep.png")
+    Image.fromarray(arr16, mode="I;16").save(path)
+    f = decode_patch(path, as_float=True)
+    u = decode_patch(path, as_float=False)
+    assert u.dtype == np.uint8 and f.dtype == np.float32
+    np.testing.assert_allclose(f, u.astype(np.float32) / 255.0)
+    assert f.max() <= 1.0 and f.shape == (32, 32, 3)

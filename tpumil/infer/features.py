@@ -49,14 +49,8 @@ class FeatureExtractor:
         self.patch_size = patch_size
         self.num_workers = num_workers
 
-        def _embed(p, x):
-            # uint8 batches are normalized on-device: the same f32 /255 as
-            # the host path (bit-identical), but 4x less host work/transfer
-            if x.dtype == jnp.uint8:
-                x = x.astype(jnp.float32) / 255.0
-            return embedder.forward(p, x, cfg)
-
-        self._fwd = jax.jit(_embed)
+        # embedder.forward normalizes uint8 batches on device itself
+        self._fwd = jax.jit(lambda p, x: embedder.forward(p, x, cfg))
         self.stats = ExtractorStats()
 
     def embed_paths(self, paths: Sequence[str]) -> np.ndarray:

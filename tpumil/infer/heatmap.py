@@ -60,12 +60,8 @@ class BagInference:
         self.patch_size = patch_size
         self.num_workers = num_workers
         self.model = model
-        def _embed_fn(p, x):
-            if x.dtype == jnp.uint8:  # on-device /255 (bit-identical f32 op)
-                x = x.astype(jnp.float32) / 255.0
-            return embedder.forward(p, x, emb_cfg)
-
-        self._embed = jax.jit(_embed_fn)
+        # embedder.forward normalizes uint8 batches on device itself
+        self._embed = jax.jit(lambda p, x: embedder.forward(p, x, emb_cfg))
         self._aggregate = jax.jit(
             lambda p, feats, c, mask: mil.forward(p, feats, mask, ins_logits=c))
 

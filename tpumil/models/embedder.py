@@ -57,7 +57,11 @@ def init_params(key, cfg: EmbedderConfig) -> Dict:
 
 
 def forward(params: Dict, x, cfg: EmbedderConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """x: [N, H, W, 3] in [0, 1]. Returns (feats [N, K] f32, logits [N, C])."""
+    """x: [N, H, W, 3] in [0, 1], or uint8 in [0, 255] (normalized on-device:
+    the same f32 /255 the host would do — bit-identical, 4x less host work
+    and host->device transfer). Returns (feats [N, K] f32, logits [N, C])."""
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
     feats = resnet.forward(params["backbone"], x, cfg.resnet_cfg)
     logits = feats @ params["fc"]["w"].T + params["fc"]["b"]
     return feats, logits

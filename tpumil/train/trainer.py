@@ -102,22 +102,6 @@ class BagTrainer:
 
         keep_frac = 1.0 - self.dropout_patch
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def train_chunk(params, opt_state, feats, mask, labels, lr, rngs, pw):
-            def step(carry, xs):
-                p, s = carry
-                f, m, y, key = xs
-                k_patch, k_v = jax.random.split(key)
-                if self.dropout_patch > 0.0:
-                    m = patch_dropout_mask(k_patch, m, keep_frac)
-                loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y, k_v, pw)
-                p, s = self.optimizer.step(p, s, grads, lr)
-                return (p, s), loss
-
-            (params, opt_state), losses = jax.lax.scan(
-                step, (params, opt_state), (feats, mask, labels, rngs))
-            return params, opt_state, jnp.sum(losses)
-
         def _gated_step(p, s, i, key, real, feats, mask, labels, lr, pw):
             """One per-bag step; dummy rows (count-padding, real=False) leave
             params/opt_state untouched — a plain zero-grad step would still
@@ -197,7 +181,6 @@ class BagTrainer:
             avg_scores = scores + jax.nn.sigmoid(max_logits)
             return losses, scores, avg_scores
 
-        self._train_chunk = train_chunk
         self._train_bucket = train_bucket
         self._train_bucket_epochs = train_bucket_epochs
         self._eval_chunk = eval_chunk
@@ -321,6 +304,28 @@ class BagTrainer:
                                        fused_eval)
         return self._fused_fns_cache[tile]
 
+    def _train_bucket_any(self, params, opt_state, feats, mask, labels, perm,
+                          lr, keys, real, nmax):
+        """One bucket of per-bag steps through whichever path _use_fused
+        picks. Callers always draw ``keys`` so the host PRNG stream does not
+        depend on the dispatch decision (the fused path needs none: it is
+        only eligible with every dropout off)."""
+        if self._use_fused(nmax):
+            fused_bucket, _, _ = self._fused_fns(nmax)
+            self.fused_dispatches += 1
+            return fused_bucket(params, opt_state, feats, mask, labels, perm,
+                                lr, real, self._pw())
+        return self._train_bucket(params, opt_state, feats, mask, labels,
+                                  perm, lr, keys, real, self._pw())
+
+    def _eval_chunk_any(self, params, feats, mask, labels, keys, nmax):
+        """Batched eval through whichever path _use_fused picks."""
+        if self._use_fused(nmax):
+            _, _, fused_eval = self._fused_fns(nmax)
+            self.fused_dispatches += 1
+            return fused_eval(params, feats, mask, labels, self._pw())
+        return self._eval_chunk(params, feats, mask, labels, keys, self._pw())
+
     # -- public API ---------------------------------------------------------
 
     def _pw(self):
@@ -348,20 +353,13 @@ class BagTrainer:
         lr = jnp.asarray(lr, jnp.float32)
         for idxs, nmax in bucketed_chunks(bags, order, self.chunk_size, self.min_bucket):
             feats, mask, labels = pad_bags([bags[i] for i in idxs], nmax)
-            if self._use_fused(nmax):
-                fused_bucket, _, _ = self._fused_fns(nmax)
-                b = len(idxs)
-                params, opt_state, loss = fused_bucket(
-                    params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
-                    jnp.asarray(labels), jnp.arange(b), lr,
-                    jnp.ones((b,), bool), self._pw())
-                self.fused_dispatches += 1
-            else:
-                keys = jax.random.split(
-                    jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
-                params, opt_state, loss = self._train_chunk(
-                    params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
-                    jnp.asarray(labels), lr, keys, self._pw())
+            b = len(idxs)
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
+            params, opt_state, loss = self._train_bucket_any(
+                params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
+                jnp.asarray(labels), jnp.arange(b), lr, keys,
+                jnp.ones((b,), bool), nmax)
             total += float(loss)
         return params, opt_state, total / max(len(bags), 1)
 
@@ -396,16 +394,16 @@ class BagTrainer:
             pr = [self._bucket_perm(store, nmax, rng) for _ in range(e)]
             perms = jnp.asarray(np.stack([p for p, _ in pr]))
             real = jnp.asarray(np.stack([r for _, r in pr]))
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
+            ).reshape(e, b, 2)
             if self._use_fused(nmax):
                 _, fused_epochs, _ = self._fused_fns(nmax)
+                self.fused_dispatches += 1
                 params, opt_state, losses = fused_epochs(
                     params, opt_state, feats, mask, labels, perms, lrs_j,
                     real, self._pw())
-                self.fused_dispatches += 1
             else:
-                keys = jax.random.split(
-                    jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
-                ).reshape(e, b, 2)
                 params, opt_state, losses = self._train_bucket_epochs(
                     params, opt_state, feats, mask, labels, perms, lrs_j, keys,
                     real, self._pw())
@@ -428,18 +426,11 @@ class BagTrainer:
             feats, mask, labels = store.buckets[nmax]
             b = feats.shape[0]
             perm, real = self._bucket_perm(store, nmax, rng)
-            if self._use_fused(nmax):
-                fused_bucket, _, _ = self._fused_fns(nmax)
-                params, opt_state, loss = fused_bucket(
-                    params, opt_state, feats, mask, labels, jnp.asarray(perm),
-                    lr, jnp.asarray(real), self._pw())
-                self.fused_dispatches += 1
-            else:
-                keys = jax.random.split(
-                    jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
-                params, opt_state, loss = self._train_bucket(
-                    params, opt_state, feats, mask, labels, jnp.asarray(perm),
-                    lr, keys, jnp.asarray(real), self._pw())
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
+            params, opt_state, loss = self._train_bucket_any(
+                params, opt_state, feats, mask, labels, jnp.asarray(perm),
+                lr, keys, jnp.asarray(real), nmax)
             total += float(loss)
         return params, opt_state, total / max(store.num_bags, 1)
 
@@ -461,18 +452,11 @@ class BagTrainer:
         order = list(range(len(bags)))
         for idxs, nmax in bucketed_chunks(bags, order, self.eval_batch, self.min_bucket):
             feats, mask, labels = pad_bags([bags[i] for i in idxs], nmax)
-            if self._use_fused(nmax):
-                _, _, fused_eval = self._fused_fns(nmax)
-                losses, scores, avg_scores = fused_eval(
-                    params, jnp.asarray(feats), jnp.asarray(mask),
-                    jnp.asarray(labels), self._pw())
-                self.fused_dispatches += 1
-            else:
-                keys = jax.random.split(
-                    jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
-                losses, scores, avg_scores = self._eval_chunk(
-                    params, jnp.asarray(feats), jnp.asarray(mask),
-                    jnp.asarray(labels), keys, self._pw())
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
+            losses, scores, avg_scores = self._eval_chunk_any(
+                params, jnp.asarray(feats), jnp.asarray(mask),
+                jnp.asarray(labels), keys, nmax)
             chosen = avg_scores if average else scores
             for j, i in enumerate(idxs):
                 scores_out[i] = np.asarray(chosen[j])
@@ -486,16 +470,10 @@ class BagTrainer:
         for nmax in store.bucket_sizes:
             feats, mask, labels = store.buckets[nmax]
             b = feats.shape[0]
-            if self._use_fused(nmax):
-                _, _, fused_eval = self._fused_fns(nmax)
-                losses, scores, avg_scores = fused_eval(
-                    params, feats, mask, labels, self._pw())
-                self.fused_dispatches += 1
-            else:
-                keys = jax.random.split(
-                    jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
-                losses, scores, avg_scores = self._eval_chunk(
-                    params, feats, mask, labels, keys, self._pw())
+            keys = jax.random.split(
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
+            losses, scores, avg_scores = self._eval_chunk_any(
+                params, feats, mask, labels, keys, nmax)
             chosen = np.asarray(avg_scores if average else scores)
             idx = store.index[nmax]
             scores_out[idx] = chosen[:len(idx)]  # dummies sit past the reals

@@ -81,6 +81,13 @@ def available() -> bool:
     return bool(_load())
 
 
+def can_write_pyramid() -> bool:
+    """True iff the loaded .so has the round-2 pyramid writer (older builds
+    lack it — callers should fall back to PIL, not crash)."""
+    lib = _load()
+    return bool(lib) and hasattr(lib, "ts_write_tiled_pyramid")
+
+
 def decode_batch(paths: List[str], size: int, num_threads: int = 8,
                  as_float: bool = True,
                  allow_resize: bool = False) -> Tuple[np.ndarray, np.ndarray]:
