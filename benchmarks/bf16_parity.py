@@ -60,7 +60,10 @@ def make_patches(rng, n_slides=60, patches_per_slide=24, size=224,
     return slides, np.asarray(labels, np.float32)
 
 
-def extract(slides, dtype_name):
+def extract(slides, mode):
+    """mode: 'bf16' | 'f32' (DEFAULT matmul precision: bf16 conv inputs with
+    f32 accumulation on TPU) | 'f32x' (HIGHEST: true f32, bit-parity with
+    the CPU/torch oracle to ~1e-5)."""
     import jax
     import jax.numpy as jnp
 
@@ -70,11 +73,13 @@ def extract(slides, dtype_name):
 
     cfg = EmbedderConfig(
         num_classes=1,
-        compute_dtype=jnp.bfloat16 if dtype_name == "bf16" else jnp.float32)
+        compute_dtype=jnp.bfloat16 if mode == "bf16" else jnp.float32)
     params = embedder.init_params(jax.random.PRNGKey(0), cfg)
-    ex = FeatureExtractor(params, cfg, batch_size=128,
-                          patch_size=slides[0].shape[1])
-    return [ex.embed_arrays(s) for s in slides]
+    prec = "highest" if mode == "f32x" else "default"
+    with jax.default_matmul_precision(prec):
+        ex = FeatureExtractor(params, cfg, batch_size=128,
+                              patch_size=slides[0].shape[1])
+        return [ex.embed_arrays(s) for s in slides]
 
 
 def run_cv(featsets, labels, seed):
@@ -88,46 +93,46 @@ def run_cv(featsets, labels, seed):
     return run_5fold_cv(bags, cfg, log=lambda s: None)
 
 
+MODES = ("f32x", "f32", "bf16")
+
+
 def main():
     rng = np.random.default_rng(42)
     slides, labels = make_patches(rng)
-    raw = {dt: extract(slides, dt) for dt in ("f32", "bf16")}
-    x32 = np.concatenate(raw["f32"])
+    raw = {m: extract(slides, m) for m in MODES}
+    x32 = np.concatenate(raw["f32x"])
     mu, sd = x32.mean(0), x32.std(0) + 1e-6
-    feats = {dt: [((f - mu) / sd).astype(np.float32) for f in raw[dt]]
-             for dt in raw}
-    corr = float(np.corrcoef(
-        np.concatenate([f.ravel() for f in feats["f32"]]),
-        np.concatenate([f.ravel() for f in feats["bf16"]]))[0, 1])
+    feats = {m: [((f - mu) / sd).astype(np.float32) for f in raw[m]]
+             for m in raw}
+    ref = np.concatenate([f.ravel() for f in feats["f32x"]])
+    corr = {m: float(np.corrcoef(
+        ref, np.concatenate([f.ravel() for f in feats[m]]))[0, 1])
+        for m in MODES}
 
     seeds = (0, 1, 2)
-    out = {dt: {"auc": [], "acc": [], "thresholds": []} for dt in feats}
+    out = {m: {"auc": [], "acc": [], "thresholds": []} for m in feats}
     for seed in seeds:
-        for dt in ("f32", "bf16"):
-            res = run_cv(feats[dt], labels, seed)
-            out[dt]["auc"].append(res["mean_auc"][0])
-            out[dt]["acc"].append(res["mean_accuracy"])
-            out[dt]["thresholds"].append(
+        for m in MODES:
+            res = run_cv(feats[m], labels, seed)
+            out[m]["auc"].append(res["mean_auc"][0])
+            out[m]["acc"].append(res["mean_accuracy"])
+            out[m]["thresholds"].append(
                 [f["thresholds"][0] for f in res["folds"]])
-        print(json.dumps({"seed": seed,
-                          "f32_auc": round(out["f32"]["auc"][-1], 4),
-                          "bf16_auc": round(out["bf16"]["auc"][-1], 4)}),
-              flush=True)
+        print(json.dumps({"seed": seed, **{
+            m + "_auc": round(out[m]["auc"][-1], 4) for m in MODES}}),
+            flush=True)
 
-    deltas = [b - a for a, b in zip(out["f32"]["auc"], out["bf16"]["auc"])]
-    thr_shift = max(
-        abs(b - a)
-        for ta, tb in zip(out["f32"]["thresholds"], out["bf16"]["thresholds"])
-        for a, b in zip(ta, tb) if np.isfinite(a) and np.isfinite(b))
+    def deltas(m):
+        return [b - a for a, b in zip(out["f32x"]["auc"], out[m]["auc"])]
+
     summary = {
-        "metric": "bf16_feature_auc_shift",
-        "value": round(float(np.mean(deltas)), 5),
-        "unit": "AUC(bf16) - AUC(f32), synthetic 5-fold CV, 3 seeds",
-        "delta_per_seed": [round(d, 5) for d in deltas],
-        "f32_auc_mean": round(float(np.mean(out["f32"]["auc"])), 5),
-        "bf16_auc_mean": round(float(np.mean(out["bf16"]["auc"])), 5),
-        "feature_corr": round(corr, 5),
-        "max_threshold_shift": round(float(thr_shift), 5),
+        "metric": "feature_precision_auc_shift",
+        "value": round(float(np.mean(deltas("bf16"))), 5),
+        "unit": "AUC(mode) - AUC(true f32), synthetic 5-fold CV, 3 seeds",
+        "bf16_delta_per_seed": [round(d, 5) for d in deltas("bf16")],
+        "f32_default_delta_per_seed": [round(d, 5) for d in deltas("f32")],
+        "auc_mean": {m: round(float(np.mean(out[m]["auc"])), 5) for m in MODES},
+        "feature_corr_vs_true_f32": {m: round(corr[m], 6) for m in MODES},
     }
     print(json.dumps(summary), flush=True)
     return summary

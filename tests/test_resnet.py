@@ -115,3 +115,24 @@ def test_space_to_depth_stem_parity(rng):
     a = np.asarray(resnet.forward(params, x, cfg))
     b = np.asarray(resnet.forward(params, x, cfg_s2d))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_exact_precision_flag_plumbing(rng):
+    """exact=True threads lax.Precision.HIGHEST through every conv. On CPU
+    (these tests) DEFAULT is already true f32, so outputs must be identical —
+    this pins the plumbing; the TPU-side difference (corr 0.9977 vs
+    1-1e-8 against the CPU oracle) is measured in benchmarks/bf16_parity.py
+    and documented in docs/PERF.md 'Precision tiers'."""
+    from tpumil.models.resnet import ResNetConfig
+    import jax.numpy as jnp
+
+    x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
+    base = ResNetConfig(depth=18, norm="instance", compute_dtype=jnp.float32)
+    exact = ResNetConfig(depth=18, norm="instance", compute_dtype=jnp.float32,
+                         exact=True)
+    import jax
+    params = resnet.init_params(jax.random.PRNGKey(0), base)
+    f1 = resnet.forward(params, x, base)
+    f2 = resnet.forward(params, x, exact)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-6)
+    assert exact.conv_precision is not None and base.conv_precision is None

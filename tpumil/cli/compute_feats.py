@@ -32,11 +32,12 @@ def main(argv=None):
     parser.add_argument("--wsi_root", default="WSI", type=str)
     parser.add_argument("--out_root", default="datasets", type=str)
     parser.add_argument("--patch_size", default=224, type=int)
-    parser.add_argument("--precision", default="f32", choices=["bf16", "f32"],
-                        help="f32: exact torch parity (default; 19k patches/s"
-                             ", 5.4x baseline); bf16: +65%% throughput but a"
-                             " measured AUC cost on weak-signal tasks"
-                             " (docs/PERF.md 'bf16 parity cost')")
+    parser.add_argument("--precision", default="f32",
+                        choices=["bf16", "f32", "f32x"],
+                        help="bf16: 31.4k patches/s; f32 (default): f32 with"
+                             " fast MXU conv inputs, 19.5k p/s; f32x: true"
+                             " f32 (torch parity to ~1e-5), 6.7k p/s — see"
+                             " docs/PERF.md 'Precision tiers'")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -58,7 +59,8 @@ def main(argv=None):
     cfg = EmbedderConfig(backbone=args.backbone, norm=args.norm_layer,
                          num_classes=args.num_classes,
                          compute_dtype=jnp.bfloat16 if args.precision == "bf16"
-                         else jnp.float32)
+                         else jnp.float32,
+                         exact=args.precision == "f32x")
 
     def resolve_weights(spec):
         if spec is None:

@@ -47,9 +47,10 @@ class EmbedderStageConfig:
     weights_low: Optional[str] = None
     tree_fusion: str = "cat"
     patch_size: int = 224
-    # f32 = parity default: bf16 features measurably shift downstream AUC on
-    # weak-signal tasks (benchmarks/bf16_parity.py, docs/PERF.md); bf16 is
-    # the opt-in throughput mode.
+    # bf16 | f32 | f32x. f32 = the default (f32 activations/accumulation,
+    # fast MXU conv inputs); bf16 = throughput mode (measurably shifts
+    # downstream AUC on weak-signal tasks); f32x = true-f32 torch parity.
+    # See benchmarks/bf16_parity.py + docs/PERF.md "Precision tiers".
     precision: str = "f32"
 
 

@@ -35,12 +35,16 @@ class EmbedderConfig:
     num_classes: int = 2
     compute_dtype: object = jnp.bfloat16  # bf16 inference on the MXU
     space_to_depth: bool = False
+    # True f32 math (lax.Precision.HIGHEST) — torch-parity features on TPU;
+    # without it f32 convs feed the MXU bf16 inputs (see ResNetConfig.exact)
+    exact: bool = False
 
     @property
     def resnet_cfg(self) -> ResNetConfig:
         return ResNetConfig(depth=BACKBONE_DEPTH[self.backbone], norm=self.norm,
                             compute_dtype=self.compute_dtype,
-                            space_to_depth=self.space_to_depth)
+                            space_to_depth=self.space_to_depth,
+                            exact=self.exact)
 
     @property
     def num_feats(self) -> int:
@@ -63,7 +67,9 @@ def forward(params: Dict, x, cfg: EmbedderConfig) -> Tuple[jnp.ndarray, jnp.ndar
     if x.dtype == jnp.uint8:
         x = x.astype(jnp.float32) / 255.0
     feats = resnet.forward(params["backbone"], x, cfg.resnet_cfg)
-    logits = feats @ params["fc"]["w"].T + params["fc"]["b"]
+    logits = jnp.matmul(feats, params["fc"]["w"].T,
+                        precision=cfg.resnet_cfg.conv_precision) \
+        + params["fc"]["b"]
     return feats, logits
 
 

@@ -48,6 +48,18 @@ class ResNetConfig:
     # (MLPerf TPU ResNet trick): mathematically identical, but the MXU sees
     # 12 input channels instead of 3 and a quarter of the spatial positions.
     space_to_depth: bool = False
+    # True f32 convolutions (lax.Precision.HIGHEST). On TPU, f32 convs at
+    # the DEFAULT precision feed the MXU bf16 inputs (f32 accumulation) —
+    # features correlate only ~0.9977 with true f32. exact=True is the
+    # torch-parity mode (~1e-5 agreement with the CPU oracle) at ~1/3 the
+    # DEFAULT-f32 rate; see docs/PERF.md "Precision tiers".
+    exact: bool = False
+
+    @property
+    def conv_precision(self):
+        import jax
+
+        return jax.lax.Precision.HIGHEST if self.exact else None
 
     @property
     def block(self) -> str:
@@ -152,7 +164,7 @@ def init_params(key, cfg: ResNetConfig) -> Dict[str, jnp.ndarray]:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _conv(x, w, stride: int, dtype):
+def _conv(x, w, stride: int, dtype, precision=None):
     # Activations stay in the compute dtype between layers: with bf16 this
     # halves inter-layer HBM traffic (+45% throughput measured on v5e). The
     # MXU still accumulates in f32 internally; norm statistics are taken in
@@ -164,6 +176,7 @@ def _conv(x, w, stride: int, dtype):
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=dtype,
+        precision=precision,
     )
 
 
@@ -190,7 +203,7 @@ def _maxpool_3x3_s2(x):
         padding=((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
-def _stem_space_to_depth(x, w7, dtype):
+def _stem_space_to_depth(x, w7, dtype, precision=None):
     """conv1 7x7/s2/p3 expressed on a 2x2 space-to-depth input: channel
     packing (py, px, c); kernel padded to 8x8 and regrouped to 4x4x12;
     asymmetric padding (2, 1) reproduces the original receptive field
@@ -204,17 +217,18 @@ def _stem_space_to_depth(x, w7, dtype):
     return jax.lax.conv_general_dilated(
         xs.astype(dtype), ws.astype(dtype), (1, 1), ((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=dtype)
+        preferred_element_type=dtype, precision=precision)
 
 
 def forward(params: Dict[str, jnp.ndarray], x, cfg: ResNetConfig):
     """x: [N, H, W, 3] float (0-1 range as produced by to_tensor). Returns
     pooled features [N, num_feats] in float32."""
     dtype = cfg.compute_dtype
+    prec = cfg.conv_precision
     if cfg.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        x = _stem_space_to_depth(x, params["conv1.weight"], dtype)
+        x = _stem_space_to_depth(x, params["conv1.weight"], dtype, prec)
     else:
-        x = _conv(x, params["conv1.weight"], 2, dtype)
+        x = _conv(x, params["conv1.weight"], 2, dtype, prec)
     x = _norm(params, x, "conv1.weight", cfg)
     x = jax.nn.relu(x)
     x = _maxpool_3x3_s2(x)
@@ -227,19 +241,19 @@ def forward(params: Dict[str, jnp.ndarray], x, cfg: ResNetConfig):
             out_ch = width * cfg.expansion
             identity = x
             if cfg.block == "basic":
-                h = _conv(x, params[f"{prefix}.conv1.weight"], stride, dtype)
+                h = _conv(x, params[f"{prefix}.conv1.weight"], stride, dtype, prec)
                 h = jax.nn.relu(_norm(params, h, f"{prefix}.conv1.weight", cfg))
-                h = _conv(h, params[f"{prefix}.conv2.weight"], 1, dtype)
+                h = _conv(h, params[f"{prefix}.conv2.weight"], 1, dtype, prec)
                 h = _norm(params, h, f"{prefix}.conv2.weight", cfg)
             else:
-                h = _conv(x, params[f"{prefix}.conv1.weight"], 1, dtype)
+                h = _conv(x, params[f"{prefix}.conv1.weight"], 1, dtype, prec)
                 h = jax.nn.relu(_norm(params, h, f"{prefix}.conv1.weight", cfg))
-                h = _conv(h, params[f"{prefix}.conv2.weight"], stride, dtype)
+                h = _conv(h, params[f"{prefix}.conv2.weight"], stride, dtype, prec)
                 h = jax.nn.relu(_norm(params, h, f"{prefix}.conv2.weight", cfg))
-                h = _conv(h, params[f"{prefix}.conv3.weight"], 1, dtype)
+                h = _conv(h, params[f"{prefix}.conv3.weight"], 1, dtype, prec)
                 h = _norm(params, h, f"{prefix}.conv3.weight", cfg)
             if stride != 1 or in_ch != out_ch:
-                identity = _conv(x, params[f"{prefix}.downsample.0.weight"], stride, dtype)
+                identity = _conv(x, params[f"{prefix}.downsample.0.weight"], stride, dtype, prec)
                 identity = _norm(params, identity, f"{prefix}.downsample.0.weight", cfg)
             x = jax.nn.relu(h + identity)
             in_ch = out_ch
