@@ -85,8 +85,16 @@ def init_params(key, cfg: DSMILConfig) -> Params:
     return params
 
 
+# HIGHEST everywhere: torch computes Linear/matmul in true f32 (TF32 is
+# default-off for matmuls), while TPU's DEFAULT precision would feed the MXU
+# bf16 inputs. These contractions are tiny/HBM-bound, so exactness is free
+# (measured: within noise of DEFAULT on the training bench). With bf16
+# compute_dtype the operands are already bf16 and nothing changes.
+_PREC = jax.lax.Precision.HIGHEST
+
+
 def _linear(x, w, b):
-    return jnp.matmul(x, w.T) + b
+    return jnp.matmul(x, w.T, precision=_PREC) + b
 
 
 def apply_q(params: Params, x, compute_dtype=jnp.float32):
@@ -162,14 +170,16 @@ def forward(params: Params, feats, mask=None, *, ins_logits=None,
 
     # Attention over instances (dsmil.py:54-56). softmax is over N.
     scale = 1.0 / jnp.sqrt(jnp.asarray(ATTN_DIM, dtype=compute_dtype))
-    a_logits = jnp.einsum("bnd,bcd->bnc", q, q_max) * scale     # [B, N, C]
+    a_logits = jnp.einsum("bnd,bcd->bnc", q, q_max,
+                          precision=_PREC) * scale     # [B, N, C]
     attn = masked_softmax(a_logits, mask, axis=1)               # [B, N, C]
 
     # Bag embedding B = A^T V (dsmil.py:57) and the Conv1d-as-contraction bag
     # head (dsmil.py:44,59-61).
-    bemb = jnp.einsum("bnc,bnk->bck", attn, v)                  # [B, C, K]
+    bemb = jnp.einsum("bnc,bnk->bck", attn, v, precision=_PREC)                  # [B, C, K]
     wf = params["fcc"]["w"].astype(compute_dtype)
-    bag_logits = jnp.einsum("bck,dck->bd", bemb, wf) + params["fcc"]["b"].astype(compute_dtype)
+    bag_logits = jnp.einsum("bck,dck->bd", bemb, wf,
+                           precision=_PREC) + params["fcc"]["b"].astype(compute_dtype)
 
     if squeeze:
         return c[0], bag_logits[0], attn[0], bemb[0]

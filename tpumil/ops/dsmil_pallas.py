@@ -400,7 +400,8 @@ def make_fused_bag_train_step(cfg, optimizer, *, tile_n: int = 1024,
         q = params["q"]
         bemb = pool(feats, q["w0"], q["b0"], q["w2"], q["b2"], q_max,
                     n_valid_arr)
-        bag_logits = jnp.einsum("ck,dck->d", bemb, params["fcc"]["w"]) \
+        bag_logits = jnp.einsum("ck,dck->d", bemb, params["fcc"]["w"],
+                                precision=jax.lax.Precision.HIGHEST) \
             + params["fcc"]["b"]
         max_logits = masked_max(c_logits, mask, axis=0)
         return dual_stream_loss(bag_logits, max_logits, label, pos_weight)
@@ -440,5 +441,6 @@ def fused_bag_forward(params, feats, n_valid, *, tile_n: int = 2048,
                                 interpret=interpret,
                                 feats_dtype=feats_dtype)      # [C, K]
     wf = params["fcc"]["w"]
-    bag_logits = jnp.einsum("ck,dck->d", bemb, wf) + params["fcc"]["b"]
+    bag_logits = jnp.einsum("ck,dck->d", bemb, wf,
+                            precision=jax.lax.Precision.HIGHEST) + params["fcc"]["b"]
     return bag_logits, masked_max(c_logits, mask, axis=0)

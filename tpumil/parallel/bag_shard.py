@@ -67,7 +67,8 @@ def _local_forward(params, feats, mask, axis: str, compute_dtype):
     bemb = jax.lax.psum(partial_bemb, axis) / jnp.maximum(denom, 1e-30)[:, None]
 
     wf = params["fcc"]["w"].astype(compute_dtype)
-    bag_logits = jnp.einsum("ck,dck->d", bemb, wf) \
+    bag_logits = jnp.einsum("ck,dck->d", bemb, wf,
+                            precision=jax.lax.Precision.HIGHEST) \
         + params["fcc"]["b"].astype(compute_dtype)
     max_ins = jax.lax.pmax(local_best_val, axis)                # [C]
     return bag_logits, max_ins, bemb

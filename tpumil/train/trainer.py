@@ -229,7 +229,8 @@ class BagTrainer:
             q_max = apply_q(p, f[crit])
             q = p["q"]
             bemb = pool(f, q["w0"], q["b0"], q["w2"], q["b2"], q_max, nv_arr)
-            bag_logits = jnp.einsum("ck,dck->d", bemb, p["fcc"]["w"]) \
+            bag_logits = jnp.einsum("ck,dck->d", bemb, p["fcc"]["w"],
+                                    precision=jax.lax.Precision.HIGHEST) \
                 + p["fcc"]["b"]
             return dual_stream_loss(
                 bag_logits, masked_max(c_logits, mask, axis=0), y, pw)
