@@ -63,7 +63,8 @@ def forward(params, feats, mask=None, *, ins_logits=None, dropout_rng=None,
     gate = _linear(h_v * h_u, params["att_w"]["w"].astype(compute_dtype),
                    params["att_w"]["b"].astype(compute_dtype))          # [B, N, 1]
     attn1 = masked_softmax(gate, mask, axis=1)                          # [B, N, 1]
-    bemb1 = jnp.einsum("bno,bnk->bok", attn1, f)                        # [B, 1, K]
+    bemb1 = jnp.einsum("bno,bnk->bok", attn1, f,
+                       precision=jax.lax.Precision.HIGHEST)             # [B, 1, K]
     bag_logits = (_linear(bemb1[:, 0, :], params["bag_fc"]["w"].astype(compute_dtype),
                           params["bag_fc"]["b"].astype(compute_dtype)))  # [B, C]
     num_classes = c.shape[-1]
