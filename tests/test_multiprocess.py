@@ -1,0 +1,94 @@
+"""True multi-process distributed training test (SURVEY.md §2.3 DCN story).
+
+Two OS processes, each with 2 virtual CPU devices, coordinate through
+``jax.distributed`` into one 4-device (data=2, inst=2) global mesh whose
+data axis spans the process boundary. The sharded train step's gradient
+psum therefore crosses processes — upgrading the multi-host claim from
+"dryrun-compiles" to "collectives verified across process boundaries",
+with losses pinned against a single-process 4-device oracle.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _single_process_oracle():
+    import jax
+    import jax.numpy as jnp
+
+    from tpumil.models import dsmil
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.parallel.mesh import make_mesh
+    from tpumil.parallel.sharded_train import device_put_batch, make_sharded_train_step
+
+    cfg = DSMILConfig(feats_size=64, num_classes=2)
+    mesh = make_mesh(4)  # same (2, 2) topology, all devices in-process
+    step, optimizer = make_sharded_train_step(cfg, mesh)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = optimizer.init(params)
+    rng = np.random.default_rng(0)
+    b, n = 8, 64
+    feats = rng.standard_normal((b, n, cfg.feats_size)).astype(np.float32)
+    mask = rng.random((b, n)) < 0.9
+    labels = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=b)]
+    gf, gm, gl = device_put_batch(mesh, feats, mask, labels)
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, gf, gm,
+                                       jnp.asarray(gl), jnp.asarray(1e-3))
+        losses.append(float(loss))
+    return losses
+
+
+def test_two_process_distributed_training(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(worker)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen([sys.executable, worker, str(r), "2", coord],
+                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                              text=True, env=env)
+             for r in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
+    losses = {}
+    for rc, out, err in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSSES"):
+                _, rank, *vals = line.split()
+                losses[int(rank)] = [float(v) for v in vals[0].split()] \
+                    if len(vals) == 1 else [float(v) for v in vals]
+    assert set(losses) == {0, 1}, outs
+    # both processes observed the same replicated loss trajectory
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+    # and it matches the single-process 4-device oracle
+    oracle = _single_process_oracle()
+    np.testing.assert_allclose(losses[0], oracle, rtol=1e-5, atol=1e-6)
+    assert all(np.isfinite(oracle))
