@@ -62,8 +62,9 @@ def make_patches(rng, n_slides=60, patches_per_slide=24, size=224,
 
 def extract(slides, mode):
     """mode: 'bf16' | 'f32' (DEFAULT matmul precision: bf16 conv inputs with
-    f32 accumulation on TPU) | 'f32x' (HIGHEST: true f32, bit-parity with
-    the CPU/torch oracle to ~1e-5)."""
+    f32 accumulation on TPU) | 'f32h' (HIGH: bf16_3x, ~7e-5 of true f32) |
+    'f32x' (HIGHEST: true f32, bit-parity with the CPU/torch oracle to
+    ~1e-5)."""
     import jax
     import jax.numpy as jnp
 
@@ -75,7 +76,7 @@ def extract(slides, mode):
         num_classes=1,
         compute_dtype=jnp.bfloat16 if mode == "bf16" else jnp.float32)
     params = embedder.init_params(jax.random.PRNGKey(0), cfg)
-    prec = "highest" if mode == "f32x" else "default"
+    prec = {"f32x": "highest", "f32h": "high"}.get(mode, "default")
     with jax.default_matmul_precision(prec):
         ex = FeatureExtractor(params, cfg, batch_size=128,
                               patch_size=slides[0].shape[1])

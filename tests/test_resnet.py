@@ -117,22 +117,25 @@ def test_space_to_depth_stem_parity(rng):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
-def test_exact_precision_flag_plumbing(rng):
-    """exact=True threads lax.Precision.HIGHEST through every conv. On CPU
-    (these tests) DEFAULT is already true f32, so outputs must be identical —
-    this pins the plumbing; the TPU-side difference (corr 0.9977 vs
-    1-1e-8 against the CPU oracle) is measured in benchmarks/bf16_parity.py
-    and documented in docs/PERF.md 'Precision tiers'."""
+def test_precision_tier_plumbing(rng):
+    """precision="high"/"highest" threads lax.Precision through every conv.
+    On CPU (these tests) DEFAULT is already true f32, so outputs must be
+    identical across tiers — this pins the plumbing; the TPU-side ladder
+    (maxabs 1.4e-2 / 7e-5 / 3e-6 against the CPU oracle) is measured in
+    docs/PERF.md 'Precision tiers'."""
     from tpumil.models.resnet import ResNetConfig
+    import jax
     import jax.numpy as jnp
 
     x = jnp.asarray(rng.random((2, 64, 64, 3)), jnp.float32)
     base = ResNetConfig(depth=18, norm="instance", compute_dtype=jnp.float32)
-    exact = ResNetConfig(depth=18, norm="instance", compute_dtype=jnp.float32,
-                         exact=True)
-    import jax
     params = resnet.init_params(jax.random.PRNGKey(0), base)
     f1 = resnet.forward(params, x, base)
-    f2 = resnet.forward(params, x, exact)
-    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-6)
-    assert exact.conv_precision is not None and base.conv_precision is None
+    assert base.conv_precision is None
+    for tier, lax_prec in (("high", jax.lax.Precision.HIGH),
+                           ("highest", jax.lax.Precision.HIGHEST)):
+        cfg = ResNetConfig(depth=18, norm="instance",
+                           compute_dtype=jnp.float32, precision=tier)
+        f2 = resnet.forward(params, x, cfg)
+        np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-6)
+        assert cfg.conv_precision == lax_prec

@@ -33,11 +33,12 @@ def main(argv=None):
     parser.add_argument("--out_root", default="datasets", type=str)
     parser.add_argument("--patch_size", default=224, type=int)
     parser.add_argument("--precision", default="f32",
-                        choices=["bf16", "f32", "f32x"],
+                        choices=["bf16", "f32", "f32h", "f32x"],
                         help="bf16: 31.4k patches/s; f32 (default): f32 with"
-                             " fast MXU conv inputs, 19.5k p/s; f32x: true"
-                             " f32 (torch parity to ~1e-5), 6.7k p/s — see"
-                             " docs/PERF.md 'Precision tiers'")
+                             " fast MXU conv inputs, 19.0k p/s; f32h: near"
+                             " torch parity (maxabs 7e-5), 11.2k p/s; f32x:"
+                             " true f32 (torch parity to ~3e-6), 6.6k p/s —"
+                             " see docs/PERF.md 'Precision tiers'")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -60,7 +61,8 @@ def main(argv=None):
                          num_classes=args.num_classes,
                          compute_dtype=jnp.bfloat16 if args.precision == "bf16"
                          else jnp.float32,
-                         exact=args.precision == "f32x")
+                         precision={"f32h": "high", "f32x": "highest"}.get(
+                             args.precision, "default"))
 
     def resolve_weights(spec):
         if spec is None:

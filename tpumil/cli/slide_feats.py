@@ -27,7 +27,8 @@ def main(argv=None):
     parser.add_argument("--magnifications", type=int, nargs="+", default=(0,))
     parser.add_argument("--batch_size", default=64, type=int)
     parser.add_argument("--workers", default=4, type=int)
-    parser.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    parser.add_argument("--precision", default="bf16",
+                        choices=["bf16", "f32", "f32h", "f32x"])
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -50,7 +51,9 @@ def main(argv=None):
     cfg = EmbedderConfig(backbone=args.backbone, norm=args.norm_layer,
                          num_classes=args.num_classes,
                          compute_dtype=jnp.bfloat16 if args.precision == "bf16"
-                         else jnp.float32)
+                         else jnp.float32,
+                         precision={"f32h": "high", "f32x": "highest"}.get(
+                             args.precision, "default"))
     if args.weights and os.path.exists(args.weights):
         params = embedder.load_simclr_checkpoint(args.weights, cfg)
     elif args.weights:

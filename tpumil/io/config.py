@@ -47,10 +47,11 @@ class EmbedderStageConfig:
     weights_low: Optional[str] = None
     tree_fusion: str = "cat"
     patch_size: int = 224
-    # bf16 | f32 | f32x. f32 = the default (f32 activations/accumulation,
-    # fast MXU conv inputs); bf16 = throughput mode (measurably shifts
-    # downstream AUC on weak-signal tasks); f32x = true-f32 torch parity.
-    # See benchmarks/bf16_parity.py + docs/PERF.md "Precision tiers".
+    # bf16 | f32 | f32h | f32x. f32 = the default (f32 activations/
+    # accumulation, fast MXU conv inputs); bf16 = throughput mode (measurably
+    # shifts downstream AUC on weak-signal tasks); f32h = near torch parity
+    # (bf16_3x, maxabs 7e-5) at ~1.7x the f32x rate; f32x = true-f32 torch
+    # parity. See benchmarks/bf16_parity.py + docs/PERF.md "Precision tiers".
     precision: str = "f32"
 
 

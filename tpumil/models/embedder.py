@@ -35,16 +35,17 @@ class EmbedderConfig:
     num_classes: int = 2
     compute_dtype: object = jnp.bfloat16  # bf16 inference on the MXU
     space_to_depth: bool = False
-    # True f32 math (lax.Precision.HIGHEST) — torch-parity features on TPU;
-    # without it f32 convs feed the MXU bf16 inputs (see ResNetConfig.exact)
-    exact: bool = False
+    # MXU precision tier: "default" feeds f32 convs bf16 MXU inputs (fast);
+    # "high" (bf16_3x) is near torch parity at ~1.7x the "highest" rate;
+    # "highest" (bf16_6x) is true f32 — see ResNetConfig.precision.
+    precision: str = "default"
 
     @property
     def resnet_cfg(self) -> ResNetConfig:
         return ResNetConfig(depth=BACKBONE_DEPTH[self.backbone], norm=self.norm,
                             compute_dtype=self.compute_dtype,
                             space_to_depth=self.space_to_depth,
-                            exact=self.exact)
+                            precision=self.precision)
 
     @property
     def num_feats(self) -> int:

@@ -48,18 +48,23 @@ class ResNetConfig:
     # (MLPerf TPU ResNet trick): mathematically identical, but the MXU sees
     # 12 input channels instead of 3 and a quarter of the spatial positions.
     space_to_depth: bool = False
-    # True f32 convolutions (lax.Precision.HIGHEST). On TPU, f32 convs at
+    # MXU precision tier for every conv + the fc head. On TPU, f32 convs at
     # the DEFAULT precision feed the MXU bf16 inputs (f32 accumulation) —
-    # features correlate only ~0.9977 with true f32. exact=True is the
-    # torch-parity mode (~1e-5 agreement with the CPU oracle) at ~1/3 the
-    # DEFAULT-f32 rate; see docs/PERF.md "Precision tiers".
-    exact: bool = False
+    # features only reach maxabs ~1e-2 of true f32. Measured ladder vs the
+    # CPU true-f32 oracle (docs/PERF.md "Precision tiers"):
+    #   "default"  maxabs 1.4e-2  19.0k patches/s (1 bf16 MXU pass)
+    #   "high"     maxabs 7e-5    11.2k patches/s (bf16_3x: 3 passes)
+    #   "highest"  maxabs 3e-6     6.6k patches/s (bf16_6x: torch parity)
+    precision: str = "default"  # "default" | "high" | "highest"
 
     @property
     def conv_precision(self):
         import jax
 
-        return jax.lax.Precision.HIGHEST if self.exact else None
+        if self.precision == "default":
+            return None
+        return {"high": jax.lax.Precision.HIGH,
+                "highest": jax.lax.Precision.HIGHEST}[self.precision]
 
     @property
     def block(self) -> str:
