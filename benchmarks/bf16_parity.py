@@ -1,12 +1,15 @@
-"""Quantify what bf16 feature extraction costs downstream (AUC/thresholds).
+"""Quantify what extraction precision costs downstream (AUC/thresholds).
 
-bf16 instance-norm ResNet features correlate ~0.995 with f32 — but the
-BASELINE target is "AUC within 0.5%", so the question is what that feature
-noise does to the trained aggregator. This runs the synthetic end-to-end
-pipeline twice (identical patches, identical embedder weights, identical CV
-seeds) with only the embedder compute dtype changed, and reports the AUC
-and per-fold optimal-threshold shift. Result documented in docs/PERF.md;
-it sets the compute_feats --precision default.
+bf16 instance-norm ResNet features correlate ~0.995 with true f32 — but
+the BASELINE target is "AUC within 0.5%", so the question is what that
+feature noise does to the trained aggregator. This runs the synthetic
+end-to-end pipeline once per precision tier (identical patches, identical
+embedder weights, identical CV seeds; only the matmul precision tier /
+compute dtype changes), and reports per-tier AUC deltas vs the true-f32
+run plus the per-fold optimal-threshold shift. All tiers' features go
+through the SAME affine standardization (statistics from the true-f32
+run). Result documented in docs/PERF.md; it sets the compute_feats
+--precision default.
 
 Design notes (found the hard way):
   * the embedder is a random-init instance-norm ResNet18; its raw features
@@ -64,23 +67,20 @@ def extract(slides, mode):
     """mode: 'bf16' | 'f32' (DEFAULT matmul precision: bf16 conv inputs with
     f32 accumulation on TPU) | 'f32h' (HIGH: bf16_3x, ~7e-5 of true f32) |
     'f32x' (HIGHEST: true f32, bit-parity with the CPU/torch oracle to
-    ~1e-5)."""
+    ~1e-5). Drives the same EmbedderConfig.precision plumbing the CLIs
+    ship, not a global flag."""
     import jax
-    import jax.numpy as jnp
 
     from tpumil.infer.features import FeatureExtractor
     from tpumil.models import embedder
     from tpumil.models.embedder import EmbedderConfig
 
-    cfg = EmbedderConfig(
-        num_classes=1,
-        compute_dtype=jnp.bfloat16 if mode == "bf16" else jnp.float32)
+    dtype, tier = embedder.precision_from_flag(mode)
+    cfg = EmbedderConfig(num_classes=1, compute_dtype=dtype, precision=tier)
     params = embedder.init_params(jax.random.PRNGKey(0), cfg)
-    prec = {"f32x": "highest", "f32h": "high"}.get(mode, "default")
-    with jax.default_matmul_precision(prec):
-        ex = FeatureExtractor(params, cfg, batch_size=128,
-                              patch_size=slides[0].shape[1])
-        return [ex.embed_arrays(s) for s in slides]
+    ex = FeatureExtractor(params, cfg, batch_size=128,
+                          patch_size=slides[0].shape[1])
+    return [ex.embed_arrays(s) for s in slides]
 
 
 def run_cv(featsets, labels, seed):
@@ -126,6 +126,15 @@ def main():
     def deltas(m):
         return [b - a for a, b in zip(out["f32x"]["auc"], out[m]["auc"])]
 
+    def max_threshold_shift(m):
+        """Largest |optimal threshold(mode) - optimal threshold(f32x)| over
+        every (seed, fold) pair — how far the decision boundary moves."""
+        shift = 0.0
+        for ta, tb in zip(out["f32x"]["thresholds"], out[m]["thresholds"]):
+            for a, b in zip(ta, tb):
+                shift = max(shift, abs(b - a))
+        return shift
+
     summary = {
         "metric": "feature_precision_auc_shift",
         "value": round(float(np.mean(deltas("bf16"))), 5),
@@ -134,6 +143,8 @@ def main():
         "f32_default_delta_per_seed": [round(d, 5) for d in deltas("f32")],
         "auc_mean": {m: round(float(np.mean(out[m]["auc"])), 5) for m in MODES},
         "feature_corr_vs_true_f32": {m: round(corr[m], 6) for m in MODES},
+        "max_threshold_shift": {m: round(max_threshold_shift(m), 5)
+                                for m in MODES if m != "f32x"},
     }
     print(json.dumps(summary), flush=True)
     return summary

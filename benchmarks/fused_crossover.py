@@ -4,8 +4,10 @@ Times the trainer's two dispatchable bucket paths — the XLA scan step
 (materializes Q [N, D] / A in HBM, autodiff backward) and the fused bucket
 (streaming Pallas kernels with the custom-VJP backward) — over an 8-bag
 bucket in ONE dispatch per repetition, so per-bag kernel cost is measured
-without host-dispatch effects. The result sets BagTrainer.fused_threshold
-(see docs/PERF.md "Fused-kernel dispatch crossover").
+without host-dispatch effects. With every dot pinned to true f32 for torch
+parity, the XLA path wins at every measured N, which is why
+BagTrainer.fused_threshold defaults to None (see docs/PERF.md
+"Fused-kernel dispatch").
 
     python benchmarks/fused_crossover.py
 """

@@ -48,17 +48,23 @@ def bench_pallas():
     mask = jnp.ones((n,), bool)
 
     def many(fn):
+        # Vary the (tiny) params per iteration: an unchanged body is hoisted
+        # out of lax.scan by CSE even across optimization_barrier, which
+        # silently turns the scan into ONE execution (docs/PERF.md
+        # methodology). Scaling every weight by 1 + i*1e-9 defeats that at
+        # negligible cost and without extra feats traffic.
         @jax.jit
         def run(p, f):
-            def body(carry, _):
-                f2 = jax.lax.optimization_barrier(f)
-                return carry, jnp.sum(fn(p, f2))
-            _, outs = jax.lax.scan(body, 0.0, None, length=reps)
+            def body(carry, s):
+                p2 = jax.tree.map(lambda w: w * s, p)
+                return carry, jnp.sum(fn(p2, f))
+            _, outs = jax.lax.scan(
+                body, 0.0, 1.0 + jnp.arange(reps, dtype=jnp.float32) * 1e-9)
             return jnp.sum(outs)
         return run
 
     xla = many(lambda p, f: dsmil.forward(p, f, mask)[1])
-    pal = many(lambda p, f: fused_bag_forward(p, f, n, tile_n=2048)[0])
+    pal = many(lambda p, f: fused_bag_forward(p, f, n, tile_n=1024)[0])
     out = {}
     for name, fn in (("xla", xla), ("pallas", pal)):
         _ = float(fn(params, feats))
@@ -83,7 +89,10 @@ def bench_pallas_train():
     params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
     opt = adam_torch(betas=(0.5, 0.9), weight_decay=1e-3)
     opt_state = opt.init(params)
-    step = make_fused_bag_train_step(cfg, opt, tile_n=1024)
+    # tile 512: the streaming backward's scoped-VMEM stack at true-f32
+    # (HIGHEST) dot precision overflows 16 MB at tile 1024 (trainer.py
+    # fused_tile has the measurement)
+    step = make_fused_bag_train_step(cfg, opt, tile_n=512)
     rng = np.random.default_rng(0)
     n = 65536
     feats = jnp.asarray(rng.standard_normal((n, 512)), jnp.float32)

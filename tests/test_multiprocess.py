@@ -83,8 +83,7 @@ def test_two_process_distributed_training(tmp_path):
         for line in out.splitlines():
             if line.startswith("LOSSES"):
                 _, rank, *vals = line.split()
-                losses[int(rank)] = [float(v) for v in vals[0].split()] \
-                    if len(vals) == 1 else [float(v) for v in vals]
+                losses[int(rank)] = [float(v) for v in vals]
     assert set(losses) == {0, 1}, outs
     # both processes observed the same replicated loss trajectory
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)

@@ -34,7 +34,7 @@ def main(argv=None):
     parser.add_argument("--patch_size", default=224, type=int)
     parser.add_argument("--precision", default="f32",
                         choices=["bf16", "f32", "f32h", "f32x"],
-                        help="bf16: 31.4k patches/s; f32 (default): f32 with"
+                        help="bf16: 30.6k patches/s; f32 (default): f32 with"
                              " fast MXU conv inputs, 19.0k p/s; f32h: near"
                              " torch parity (maxabs 7e-5), 11.2k p/s; f32x:"
                              " true f32 (torch parity to ~3e-6), 6.6k p/s —"
@@ -55,14 +55,10 @@ def main(argv=None):
     from tpumil.models.embedder import EmbedderConfig
     from tpumil.infer.features import FeatureExtractor, compute_feats, compute_tree_feats
 
-    import jax.numpy as jnp
-
+    dtype, tier = embedder.precision_from_flag(args.precision)
     cfg = EmbedderConfig(backbone=args.backbone, norm=args.norm_layer,
                          num_classes=args.num_classes,
-                         compute_dtype=jnp.bfloat16 if args.precision == "bf16"
-                         else jnp.float32,
-                         precision={"f32h": "high", "f32x": "highest"}.get(
-                             args.precision, "default"))
+                         compute_dtype=dtype, precision=tier)
 
     def resolve_weights(spec):
         if spec is None:

@@ -40,20 +40,16 @@ def main(argv=None):
     import os
 
     import jax
-    import jax.numpy as jnp
-
     from tpumil.data.tiler import TilerConfig
     from tpumil.infer.features import FeatureExtractor
     from tpumil.infer.stream_embed import embed_dataset_streaming
     from tpumil.models import embedder
     from tpumil.models.embedder import EmbedderConfig
 
+    dtype, tier = embedder.precision_from_flag(args.precision)
     cfg = EmbedderConfig(backbone=args.backbone, norm=args.norm_layer,
                          num_classes=args.num_classes,
-                         compute_dtype=jnp.bfloat16 if args.precision == "bf16"
-                         else jnp.float32,
-                         precision={"f32h": "high", "f32x": "highest"}.get(
-                             args.precision, "default"))
+                         compute_dtype=dtype, precision=tier)
     if args.weights and os.path.exists(args.weights):
         params = embedder.load_simclr_checkpoint(args.weights, cfg)
     elif args.weights:

@@ -27,6 +27,25 @@ from tpumil.models.resnet import ResNetConfig
 
 BACKBONE_DEPTH = {"resnet18": 18, "resnet34": 34, "resnet50": 50, "resnet101": 101}
 
+# User-facing --precision flag -> (compute dtype, MXU precision tier).
+# Measured ladder in docs/PERF.md "Precision tiers".
+PRECISION_FLAGS = {
+    "bf16": (jnp.bfloat16, "default"),
+    "f32": (jnp.float32, "default"),
+    "f32h": (jnp.float32, "high"),
+    "f32x": (jnp.float32, "highest"),
+}
+
+
+def precision_from_flag(flag: str) -> Tuple[object, str]:
+    """Map a CLI ``--precision`` flag (bf16|f32|f32h|f32x) to
+    ``(compute_dtype, precision_tier)`` for EmbedderConfig."""
+    try:
+        return PRECISION_FLAGS[flag]
+    except KeyError:
+        raise ValueError(f"unknown precision flag {flag!r}; "
+                         f"expected one of {sorted(PRECISION_FLAGS)}") from None
+
 
 @dataclasses.dataclass(frozen=True)
 class EmbedderConfig:

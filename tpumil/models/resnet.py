@@ -59,12 +59,15 @@ class ResNetConfig:
 
     @property
     def conv_precision(self):
-        import jax
-
         if self.precision == "default":
             return None
-        return {"high": jax.lax.Precision.HIGH,
-                "highest": jax.lax.Precision.HIGHEST}[self.precision]
+        try:
+            return {"high": jax.lax.Precision.HIGH,
+                    "highest": jax.lax.Precision.HIGHEST}[self.precision]
+        except KeyError:
+            raise ValueError(
+                f"unknown precision tier {self.precision!r}; expected "
+                "'default', 'high', or 'highest'") from None
 
     @property
     def block(self) -> str:

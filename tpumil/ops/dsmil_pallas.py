@@ -38,7 +38,7 @@ from tpumil.models.dsmil import ATTN_DIM
 
 def _kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
             qmax_ref, out_ref, m_out_ref, s_out_ref, m_ref, s_ref, acc_ref,
-            *, tile_n: int, nonlinear: bool):
+            *, tile_n: int, nonlinear: bool, prec):
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
 
@@ -50,14 +50,14 @@ def _kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
 
     f = feats_ref[:]                                        # [T, K]
     # q-MLP on the tile (dsmil.py:31-33)
-    h = jnp.dot(f, w0_ref[:].T, preferred_element_type=jnp.float32) + b0_ref[:]
+    h = jnp.dot(f, w0_ref[:].T, preferred_element_type=jnp.float32, precision=prec) + b0_ref[:]
     if nonlinear:
         h = jnp.maximum(h, 0.0)
-        h = jnp.tanh(jnp.dot(h, w2_ref[:].T, preferred_element_type=jnp.float32)
+        h = jnp.tanh(jnp.dot(h, w2_ref[:].T, preferred_element_type=jnp.float32, precision=prec)
                      + b2_ref[:])
     q = h                                                   # [T, D]
     scale = 1.0 / jnp.sqrt(jnp.float32(ATTN_DIM))
-    a = jnp.dot(q, qmax_ref[:].T, preferred_element_type=jnp.float32) * scale
+    a = jnp.dot(q, qmax_ref[:].T, preferred_element_type=jnp.float32, precision=prec) * scale
     # mask padded rows
     row = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, a.shape, 0)
     a = jnp.where(row < n_valid_ref[0], a, -1e30)           # [T, C]
@@ -70,7 +70,7 @@ def _kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     m_ref[:] = m_new
     s_ref[:] = s_ref[:] * corr + jnp.sum(p, axis=0, keepdims=True)
     acc_ref[:] = acc_ref[:] * corr.T + jnp.dot(
-        p.astype(f.dtype).T, f, preferred_element_type=jnp.float32)  # [C, K]
+        p.astype(f.dtype).T, f, preferred_element_type=jnp.float32, precision=prec)  # [C, K]
 
     @pl.when(i == n_prog - 1)
     def _finalize():
@@ -82,7 +82,7 @@ def _kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "nonlinear", "interpret",
                                               "feats_dtype", "return_stats"))
-def fused_attention_pool(feats, q_params, q_max, n_valid, *, tile_n: int = 2048,
+def fused_attention_pool(feats, q_params, q_max, n_valid, *, tile_n: int = 1024,
                          nonlinear: bool = True, interpret: bool = False,
                          feats_dtype=jnp.float32, return_stats: bool = False):
     """Bag embedding ``B = softmax_N(q(feats) @ q_max^T / sqrt(D))^T feats``.
@@ -135,7 +135,14 @@ def fused_attention_pool(feats, q_params, q_max, n_valid, *, tile_n: int = 2048,
             pltpu.VMEM((c, k), jnp.float32),    # weighted-feature accumulator
         ],
     )
-    kernel = functools.partial(_kernel, tile_n=tile_n, nonlinear=nonlinear)
+    # Match the XLA aggregator's pinned true-f32 matmuls (dsmil._PREC):
+    # Mosaic's DEFAULT dot feeds the MXU bf16 inputs (measured 1.7e-1 maxabs
+    # on a 256^2 f32 matmul vs 1.3e-5 pinned), so f32 streams pin HIGHEST.
+    # The bf16 stream is the explicit throughput mode: single-pass exact
+    # for bf16 operands, precision attr left DEFAULT.
+    prec = jax.lax.Precision.HIGHEST if feats_dtype == jnp.float32 else None
+    kernel = functools.partial(_kernel, tile_n=tile_n, nonlinear=nonlinear,
+                               prec=prec)
     # bf16 feats halve the HBM traffic of the streaming read; all dots
     # accumulate in f32 (preferred_element_type) so the softmax stays stable.
     out, m_stat, s_stat = pl.pallas_call(
@@ -164,19 +171,20 @@ def fused_attention_pool(feats, q_params, q_max, n_valid, *, tile_n: int = 2048,
 # ---------------------------------------------------------------------------
 
 def _recompute_tile(i, n_valid_ref, f, w0_ref, b0_ref, w2_ref, b2_ref,
-                    qmax_ref, m_stat_ref, s_stat_ref, tile_n, nonlinear):
+                    qmax_ref, m_stat_ref, s_stat_ref, tile_n, nonlinear,
+                    prec):
     """Shared recompute: returns (z1, hgate, q, A) for one tile."""
-    z1 = jnp.dot(f, w0_ref[:].T, preferred_element_type=jnp.float32) + b0_ref[:]
+    z1 = jnp.dot(f, w0_ref[:].T, preferred_element_type=jnp.float32, precision=prec) + b0_ref[:]
     if nonlinear:
         hgate = jnp.maximum(z1, 0.0)
         z2 = jnp.dot(hgate, w2_ref[:].T,
-                     preferred_element_type=jnp.float32) + b2_ref[:]
+                     preferred_element_type=jnp.float32, precision=prec) + b2_ref[:]
         q = jnp.tanh(z2)
     else:
         hgate = z1
         q = z1
     scale = 1.0 / jnp.sqrt(jnp.float32(ATTN_DIM))
-    l = jnp.dot(q, qmax_ref[:].T, preferred_element_type=jnp.float32) * scale
+    l = jnp.dot(q, qmax_ref[:].T, preferred_element_type=jnp.float32, precision=prec) * scale
     row = i * tile_n + jax.lax.broadcasted_iota(jnp.int32, l.shape, 0)
     l = jnp.where(row < n_valid_ref[0], l, -1e30)
     a = jnp.exp(l - m_stat_ref[:]) / jnp.maximum(s_stat_ref[:], 1e-30)
@@ -186,7 +194,7 @@ def _recompute_tile(i, n_valid_ref, f, w0_ref, b0_ref, w2_ref, b2_ref,
 
 def _bwd1_kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
                  qmax_ref, m_stat_ref, s_stat_ref, db_ref, s_red_ref,
-                 acc_ref, *, tile_n: int, nonlinear: bool):
+                 acc_ref, *, tile_n: int, nonlinear: bool, prec):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -196,8 +204,8 @@ def _bwd1_kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     f = feats_ref[:]
     _, _, _, a = _recompute_tile(i, n_valid_ref, f, w0_ref, b0_ref, w2_ref,
                                  b2_ref, qmax_ref, m_stat_ref, s_stat_ref,
-                                 tile_n, nonlinear)
-    da = jnp.dot(f, db_ref[:].T, preferred_element_type=jnp.float32)  # [T, C]
+                                 tile_n, nonlinear, prec)
+    da = jnp.dot(f, db_ref[:].T, preferred_element_type=jnp.float32, precision=prec)  # [T, C]
     acc_ref[:] = acc_ref[:] + jnp.sum(a * da, axis=0, keepdims=True)
 
     @pl.when(i == pl.num_programs(0) - 1)
@@ -209,7 +217,7 @@ def _bwd2_kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
                  qmax_ref, m_stat_ref, s_stat_ref, db_ref, s_red_ref,
                  df_ref, dw0_ref, db0_ref, dw2_ref, db2_ref, dqm_ref,
                  dw0_acc, db0_acc, dw2_acc, db2_acc, dqm_acc,
-                 *, tile_n: int, nonlinear: bool):
+                 *, tile_n: int, nonlinear: bool, prec):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -223,27 +231,27 @@ def _bwd2_kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
     f = feats_ref[:]
     z1, hgate, q, a = _recompute_tile(i, n_valid_ref, f, w0_ref, b0_ref,
                                       w2_ref, b2_ref, qmax_ref, m_stat_ref,
-                                      s_stat_ref, tile_n, nonlinear)
+                                      s_stat_ref, tile_n, nonlinear, prec)
     scale = 1.0 / jnp.sqrt(jnp.float32(ATTN_DIM))
-    da = jnp.dot(f, db_ref[:].T, preferred_element_type=jnp.float32)
+    da = jnp.dot(f, db_ref[:].T, preferred_element_type=jnp.float32, precision=prec)
     dl = a * (da - s_red_ref[:])                              # [T, C]
-    dq = jnp.dot(dl, qmax_ref[:], preferred_element_type=jnp.float32) * scale
+    dq = jnp.dot(dl, qmax_ref[:], preferred_element_type=jnp.float32, precision=prec) * scale
     dqm_acc[:] = dqm_acc[:] + jnp.dot(
-        dl.T, q, preferred_element_type=jnp.float32) * scale  # [C, D]
+        dl.T, q, preferred_element_type=jnp.float32, precision=prec) * scale  # [C, D]
     if nonlinear:
         dz2 = dq * (1.0 - q * q)
         dw2_acc[:] = dw2_acc[:] + jnp.dot(
-            dz2.T, hgate, preferred_element_type=jnp.float32)
+            dz2.T, hgate, preferred_element_type=jnp.float32, precision=prec)
         db2_acc[:] = db2_acc[:] + jnp.sum(dz2, axis=0, keepdims=True)
-        dh = jnp.dot(dz2, w2_ref[:], preferred_element_type=jnp.float32)
+        dh = jnp.dot(dz2, w2_ref[:], preferred_element_type=jnp.float32, precision=prec)
         dz1 = dh * (z1 > 0.0).astype(jnp.float32)
     else:
         dz1 = dq
     dw0_acc[:] = dw0_acc[:] + jnp.dot(
-        dz1.T, f, preferred_element_type=jnp.float32)
+        dz1.T, f, preferred_element_type=jnp.float32, precision=prec)
     db0_acc[:] = db0_acc[:] + jnp.sum(dz1, axis=0, keepdims=True)
-    df_ref[:] = (jnp.dot(a, db_ref[:], preferred_element_type=jnp.float32)
-                 + jnp.dot(dz1, w0_ref[:], preferred_element_type=jnp.float32))
+    df_ref[:] = (jnp.dot(a, db_ref[:], preferred_element_type=jnp.float32, precision=prec)
+                 + jnp.dot(dz1, w0_ref[:], preferred_element_type=jnp.float32, precision=prec))
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _finalize():
@@ -254,7 +262,7 @@ def _bwd2_kernel(n_valid_ref, feats_ref, w0_ref, b0_ref, w2_ref, b2_ref,
         dqm_ref[:] = dqm_acc[:]
 
 
-def make_trainable_pool(tile_n: int = 2048, nonlinear: bool = True,
+def make_trainable_pool(tile_n: int = 512, nonlinear: bool = True,
                         interpret: bool = False):
     """Differentiable fused pooling: returns
     ``pool(feats, w0, b0, w2, b2, q_max, n_valid_arr) -> B [C, K]`` with a
@@ -297,7 +305,8 @@ def make_trainable_pool(tile_n: int = 2048, nonlinear: bool = True,
                        db.astype(jnp.float32))
         grid = (n // tile_n,)
         s_red = pl.pallas_call(
-            functools.partial(_bwd1_kernel, tile_n=tile_n, nonlinear=nonlinear),
+            functools.partial(_bwd1_kernel, tile_n=tile_n, nonlinear=nonlinear,
+                              prec=jax.lax.Precision.HIGHEST),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=grid,
                 in_specs=_common_in_specs(k, c),
@@ -310,7 +319,8 @@ def make_trainable_pool(tile_n: int = 2048, nonlinear: bool = True,
         )(*common_args)
 
         outs = pl.pallas_call(
-            functools.partial(_bwd2_kernel, tile_n=tile_n, nonlinear=nonlinear),
+            functools.partial(_bwd2_kernel, tile_n=tile_n, nonlinear=nonlinear,
+                              prec=jax.lax.Precision.HIGHEST),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1, grid=grid,
                 in_specs=_common_in_specs(k, c) + [
@@ -416,7 +426,7 @@ def make_fused_bag_train_step(cfg, optimizer, *, tile_n: int = 1024,
     return step
 
 
-def fused_bag_forward(params, feats, n_valid, *, tile_n: int = 2048,
+def fused_bag_forward(params, feats, n_valid, *, tile_n: int = 1024,
                       interpret: bool = False,
                       feats_dtype=jnp.float32) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full single-bag DSMIL forward for huge bags using the fused kernel.

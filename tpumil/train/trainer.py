@@ -70,12 +70,21 @@ class BagTrainer:
     model: str = "dsmil"  # reference --model dsmil|abmil (train_tcga.py:224-227)
     # Buckets padded to >= this many instances run through the fused Pallas
     # attention-pooling kernels (forward + streaming custom-VJP backward,
-    # O(tile) activation memory) instead of the XLA chain. The measured
-    # crossover on the v5e chip is ~16k instances (docs/PERF.md); None
-    # disables. Only the reference configuration is eligible (dsmil,
-    # nonlinear q, passing_v=False, no patch dropout).
-    fused_threshold: Optional[int] = 16384
-    fused_tile: int = 1024
+    # O(tile) activation memory) instead of the XLA chain. Default None
+    # (disabled): with every dot pinned to true f32 for torch parity, the
+    # XLA path's multi-pass matmuls beat the fused kernels on speed at
+    # every measured N (docs/PERF.md "Fused-kernel dispatch") — the fused
+    # path remains the opt-in escape hatch when activation memory, not
+    # speed, is the constraint (its footprint is O(tile), the XLA path's
+    # is O(N) in Q/A + autodiff residuals). Only the reference
+    # configuration is eligible (dsmil, nonlinear q, passing_v=False,
+    # no patch dropout).
+    fused_threshold: Optional[int] = None
+    # 512 rows/tile: the streaming backward's scoped-VMEM stack at true-f32
+    # (HIGHEST) dot precision overflows the 16 MB budget at tile 1024
+    # (17.7 MB measured) — the multi-pass f32 matmuls stage decomposed
+    # operand copies that DEFAULT-precision dots don't need.
+    fused_tile: int = 512
 
     def __post_init__(self):
         from tpumil.models.registry import get_model
