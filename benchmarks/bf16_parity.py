@@ -94,7 +94,7 @@ def run_cv(featsets, labels, seed):
     return run_5fold_cv(bags, cfg, log=lambda s: None)
 
 
-MODES = ("f32x", "f32", "bf16")
+MODES = ("f32x", "f32h", "f32", "bf16")
 
 
 def main():
@@ -140,6 +140,7 @@ def main():
         "value": round(float(np.mean(deltas("bf16"))), 5),
         "unit": "AUC(mode) - AUC(true f32), synthetic 5-fold CV, 3 seeds",
         "bf16_delta_per_seed": [round(d, 5) for d in deltas("bf16")],
+        "f32h_delta_per_seed": [round(d, 5) for d in deltas("f32h")],
         "f32_default_delta_per_seed": [round(d, 5) for d in deltas("f32")],
         "auc_mean": {m: round(float(np.mean(out[m]["auc"])), 5) for m in MODES},
         "feature_corr_vs_true_f32": {m: round(corr[m], 6) for m in MODES},

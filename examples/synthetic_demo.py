@@ -20,6 +20,9 @@ import sys
 
 import numpy as np
 
+# runnable as `python examples/synthetic_demo.py` without installing tpumil
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
 
 def make_slides(root: str, rng) -> None:
     from PIL import Image
