@@ -358,6 +358,10 @@ int ts_tiff_read_region(void* handle, int level, int x, int y, int w, int hh,
           if (!TIFFReadRGBATile(tif, tx, ty, fresh.data())) continue;
           h->cache_put(key, std::move(fresh));
           cached = h->cache_get(key);
+          // cache_put declines tiles larger than the cap (leaving `fresh`
+          // intact, as its early return precedes the move); read from the
+          // local buffer instead of dereferencing the failed lookup
+          if (!cached) cached = &fresh;
         }
         const std::vector<uint32_t>& tile = *cached;
         // RGBA tile is bottom-up

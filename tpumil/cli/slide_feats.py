@@ -27,7 +27,10 @@ def main(argv=None):
     parser.add_argument("--magnifications", type=int, nargs="+", default=(0,))
     parser.add_argument("--batch_size", default=64, type=int)
     parser.add_argument("--workers", default=4, type=int)
-    parser.add_argument("--precision", default="bf16",
+    # f32 default, matching compute_feats and the measured policy (bf16
+    # features shift downstream AUC — docs/PERF.md "Precision tiers");
+    # bf16 stays the explicit throughput opt-in
+    parser.add_argument("--precision", default="f32",
                         choices=["bf16", "f32", "f32h", "f32x"])
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)

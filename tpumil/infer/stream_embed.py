@@ -203,6 +203,10 @@ def embed_dataset_streaming(wsi_root: str, dataset: str,
     path_base = os.path.join(wsi_root, dataset)
     slides = (_glob.glob(os.path.join(path_base, "*", f"*.{slide_format}"))
               + _glob.glob(os.path.join(path_base, "*", "*", f"*.{slide_format}")))
+    if not slides:
+        raise FileNotFoundError(
+            f"no *.{slide_format} slides under {path_base}/<class>/ — check "
+            "--wsi_root/--dataset, and --slide_format (default 'svs')")
     feats_path = os.path.join(out_root, dataset)
     for i, slide_path in enumerate(slides):
         rel = os.path.relpath(slide_path, path_base)
