@@ -94,43 +94,72 @@ def _color_jitter(key, img, strength: float = 1.0):
     c = 0.8 * strength
     s = 0.8 * strength
     hmax = 0.2 * strength
-    img = jnp.clip(img * jax.random.uniform(kb, minval=max(0.0, 1 - b), maxval=1 + b),
+    dt = img.dtype
+    img = jnp.clip(img * jax.random.uniform(kb, minval=max(0.0, 1 - b),
+                                            maxval=1 + b).astype(dt),
                    0.0, 1.0)
-    gray_mean = jnp.mean(_rgb_to_gray(img))
+    # reductions in f32 even for bf16 images (a 150k-element bf16 mean
+    # loses ~2 decimal digits)
+    gray_mean = jnp.mean(_rgb_to_gray(img), dtype=jnp.float32).astype(dt)
     img = jnp.clip(gray_mean + (img - gray_mean)
-                   * jax.random.uniform(kc, minval=max(0.0, 1 - c), maxval=1 + c),
+                   * jax.random.uniform(kc, minval=max(0.0, 1 - c),
+                                        maxval=1 + c).astype(dt),
                    0.0, 1.0)
     gray = _rgb_to_gray(img)
     img = jnp.clip(gray + (img - gray)
-                   * jax.random.uniform(ks, minval=max(0.0, 1 - s), maxval=1 + s),
+                   * jax.random.uniform(ks, minval=max(0.0, 1 - s),
+                                        maxval=1 + s).astype(dt),
                    0.0, 1.0)
-    img = _adjust_hue(img, jax.random.uniform(kh, minval=-hmax, maxval=hmax))
+    img = _adjust_hue(img, jax.random.uniform(kh, minval=-hmax,
+                                              maxval=hmax).astype(dt))
     return img
 
 
+def _blur_band(k1d, n: int, r: int, dtype):
+    """[n, n + 2r] banded matrix B with B[i, i+j] = k1d[j] — one separable
+    blur pass as a matmul (the per-image kernel makes a batched conv
+    MXU-hostile 1-channel op under vmap; a band matmul runs on the MXU)."""
+    rows = jnp.arange(n)[:, None]
+    cols = jnp.arange(n + 2 * r)[None, :]
+    off = cols - rows
+    inb = (off >= 0) & (off <= 2 * r)
+    return jnp.where(inb, k1d[jnp.clip(off, 0, 2 * r)], 0.0).astype(dtype)
+
+
 def _gaussian_blur(key, img, kernel_size: int = 13):
+    """sigma ~ U[0.1, 2], reflect-101 border like cv2.GaussianBlur (zero
+    padding would darken a 2r-pixel vignette frame on every blurred view).
+    Implemented as two banded matmuls: f32 images pin Precision.HIGHEST so
+    the math stays cv2-parity (TPU DEFAULT would feed the MXU bf16 inputs);
+    bf16 images (the SimCLR throughput mode) use the fast path."""
     sigma = jax.random.uniform(key, minval=0.1, maxval=2.0)
     r = kernel_size // 2
     xs = jnp.arange(-r, r + 1, dtype=jnp.float32)
     k1d = jnp.exp(-0.5 * (xs / sigma) ** 2)
     k1d = k1d / jnp.sum(k1d)
-    # reflect-101 border like cv2.GaussianBlur (zero padding would darken a
-    # 2r-pixel vignette frame on every blurred view)
+    h, w = img.shape[0], img.shape[1]
     padded = jnp.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
-    img_t = jnp.moveaxis(padded, -1, 0)  # [3, H+2r, W+2r]
-    blurred = jax.lax.conv_general_dilated(
-        img_t[:, None], k1d[None, None, :, None], (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
-    blurred = jax.lax.conv_general_dilated(
-        blurred[:, None], k1d[None, None, None, :], (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))[:, 0]
-    return jnp.moveaxis(blurred, 0, -1)
+    prec = jax.lax.Precision.HIGHEST if img.dtype == jnp.float32 else None
+    bh = _blur_band(k1d, h, r, img.dtype)
+    rows_done = jnp.einsum("ij,jwc->iwc", bh, padded, precision=prec,
+                           preferred_element_type=jnp.float32)  # [h, w+2r, 3]
+    bw = bh if h == w else _blur_band(k1d, w, r, img.dtype)
+    return jnp.einsum("ij,hjc->hic", bw, rows_done.astype(img.dtype),
+                      precision=prec,
+                      preferred_element_type=jnp.float32).astype(img.dtype)
 
 
 def augment_one(key, img, out_size: int = 224, strength: float = 1.0,
-                blur_kernel: int = 13):
-    """One SimCLR view of one image ([H, W, 3] float in [0, 1])."""
+                blur_kernel: int = 13, compute_dtype=None):
+    """One SimCLR view of one image ([H, W, 3] float in [0, 1]).
+
+    compute_dtype=bf16 halves the HBM traffic of this bandwidth-bound
+    pipeline (the SimCLR trainer's throughput mode — views feed a bf16
+    backbone anyway); None keeps the input dtype (f32 = parity mode, every
+    matmul pinned to true f32)."""
     keys = jax.random.split(key, 7)
+    if compute_dtype is not None:
+        img = img.astype(compute_dtype)
     img = _random_resized_crop(keys[0], img, out_size)
     img = jnp.where(jax.random.bernoulli(keys[1]), img[:, ::-1, :], img)
     img = jnp.where(jax.random.bernoulli(keys[2], 0.8),
@@ -143,15 +172,15 @@ def augment_one(key, img, out_size: int = 224, strength: float = 1.0,
     return jnp.clip(img, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def augment_pair_batch(key, images, out_size: int = 224):
+@partial(jax.jit, static_argnums=(2, 3))
+def augment_pair_batch(key, images, out_size: int = 224, compute_dtype=None):
     """Two independent views for a batch: [B, H, W, 3] -> (view1, view2),
     each [B, out_size, out_size, 3] (SimCLRDataTransform,
-    dataset_wrapper.py:80-87)."""
+    dataset_wrapper.py:80-87). compute_dtype: see augment_one."""
     b = images.shape[0]
     k1, k2 = jax.random.split(key)
-    v1 = jax.vmap(lambda k, im: augment_one(k, im, out_size))(
-        jax.random.split(k1, b), images)
-    v2 = jax.vmap(lambda k, im: augment_one(k, im, out_size))(
-        jax.random.split(k2, b), images)
+    one = lambda k, im: augment_one(k, im, out_size,
+                                    compute_dtype=compute_dtype)
+    v1 = jax.vmap(one)(jax.random.split(k1, b), images)
+    v2 = jax.vmap(one)(jax.random.split(k2, b), images)
     return v1, v2

@@ -80,14 +80,21 @@ class SimCLRTrainer:
             z2 = l2_normalize(z2)
             return nt_xent_loss(z1, z2, cfg.temperature, cfg.use_cosine_similarity)
 
+        # augment in the backbone's compute dtype: the pipeline is pure
+        # bandwidth, so bf16 views halve its HBM traffic and the backbone
+        # consumes bf16 anyway (f32 when the model runs f32 — parity mode)
+        aug_dtype = model_cfg.compute_dtype
+
         def train_step(params, opt_state, key, images, lr):
-            v1, v2 = augment_pair_batch(key, images, cfg.input_size)
+            v1, v2 = augment_pair_batch(key, images, cfg.input_size,
+                                        aug_dtype)
             loss, grads = jax.value_and_grad(loss_fn)(params, v1, v2)
             params, opt_state = self.optimizer.step(params, opt_state, grads, lr)
             return params, opt_state, loss
 
         def eval_step(params, key, images):
-            v1, v2 = augment_pair_batch(key, images, cfg.input_size)
+            v1, v2 = augment_pair_batch(key, images, cfg.input_size,
+                                        aug_dtype)
             return loss_fn(params, v1, v2)
 
         if mesh is not None:
