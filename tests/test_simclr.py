@@ -71,6 +71,26 @@ def test_augment_pair_batch(rng):
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v1b), atol=1e-6)
 
 
+def test_augment_bf16_matches_f32(rng):
+    """The trainer's bf16 augmentation mode (views feed a bf16 backbone)
+    must be the same transform at reduced precision: same random draws,
+    same branches, per-pixel agreement within bf16 rounding accumulation."""
+    imgs = jnp.asarray(rng.random((8, 48, 48, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    v1, v2 = augment_pair_batch(key, imgs, 32)
+    w1, w2 = augment_pair_batch(key, imgs, 32, jnp.bfloat16)
+    assert w1.dtype == jnp.bfloat16
+    for a, b in ((v1, w1), (v2, w2)):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        assert np.abs(a - b).mean() < 5e-3
+        # the big pixel mass agrees; stray pixels may cross a coin/branch
+        # boundary only via the transform values, never the draws, so the
+        # 99th percentile stays within bf16 noise
+        assert np.quantile(np.abs(a - b), 0.99) < 0.1
+        assert abs(a.mean() - b.mean()) < 2e-3
+
+
 def test_simclr_forward_and_export_roundtrip(rng):
     cfg = SimCLRConfig(compute_dtype=jnp.float32)
     params = simclr_model.init_params(jax.random.PRNGKey(0), cfg)
