@@ -76,6 +76,7 @@ def main(argv=None):
         temperature=args.temperature or loss_y.get("temperature", 0.5),
         use_cosine_similarity=loss_y.get("use_cosine_similarity", True),
         valid_size=ds_y.get("valid_size", 0.1),
+        s=float(ds_y.get("s", 1.0)),
         input_size=args.input_size,
         num_workers=args.num_workers,
         seed=args.seed,

@@ -172,14 +172,17 @@ def augment_one(key, img, out_size: int = 224, strength: float = 1.0,
     return jnp.clip(img, 0.0, 1.0)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def augment_pair_batch(key, images, out_size: int = 224, compute_dtype=None):
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def augment_pair_batch(key, images, out_size: int = 224, compute_dtype=None,
+                       strength: float = 1.0):
     """Two independent views for a batch: [B, H, W, 3] -> (view1, view2),
     each [B, out_size, out_size, 3] (SimCLRDataTransform,
-    dataset_wrapper.py:80-87). compute_dtype: see augment_one."""
+    dataset_wrapper.py:80-87). compute_dtype: see augment_one. strength =
+    the reference's color-jitter ``s`` (config.yaml dataset.s,
+    dataset_wrapper.py:48)."""
     b = images.shape[0]
     k1, k2 = jax.random.split(key)
-    one = lambda k, im: augment_one(k, im, out_size,
+    one = lambda k, im: augment_one(k, im, out_size, strength=strength,
                                     compute_dtype=compute_dtype)
     v1 = jax.vmap(one)(jax.random.split(k1, b), images)
     v2 = jax.vmap(one)(jax.random.split(k2, b), images)

@@ -46,6 +46,7 @@ class SimCLRTrainConfig:
     temperature: float = 0.5         # config.yaml loss.temperature
     use_cosine_similarity: bool = True
     valid_size: float = 0.1
+    s: float = 1.0                   # color-jitter strength (config.yaml dataset.s)
     warmup_epochs: int = 10          # scheduler stepped only after epoch 10
     input_size: int = 224
     seed: int = 0
@@ -87,14 +88,14 @@ class SimCLRTrainer:
 
         def train_step(params, opt_state, key, images, lr):
             v1, v2 = augment_pair_batch(key, images, cfg.input_size,
-                                        aug_dtype)
+                                        aug_dtype, cfg.s)
             loss, grads = jax.value_and_grad(loss_fn)(params, v1, v2)
             params, opt_state = self.optimizer.step(params, opt_state, grads, lr)
             return params, opt_state, loss
 
         def eval_step(params, key, images):
             v1, v2 = augment_pair_batch(key, images, cfg.input_size,
-                                        aug_dtype)
+                                        aug_dtype, cfg.s)
             return loss_fn(params, v1, v2)
 
         if mesh is not None:
