@@ -39,6 +39,8 @@ def main(argv=None):
                              " torch parity (maxabs 7e-5), 11.2k p/s; f32x:"
                              " true f32 (torch parity to ~3e-6), 6.6k p/s —"
                              " see docs/PERF.md 'Precision tiers'")
+    parser.add_argument("--gpu_index", type=int, nargs="+", default=(0,),
+                        help="Accepted for reference CLI compatibility (compute_feats.py --gpu_index); device selection here is --device")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 

@@ -42,6 +42,10 @@ def main(argv=None):
                              "into one device dispatch [1]")
     parser.add_argument("--resume", action="store_true",
                         help="Skip folds already completed in the save dir")
+    parser.add_argument("--gpu_index", type=int, nargs="+", default=(0,),
+                        help="Accepted for reference CLI compatibility "
+                             "(train_tcga.py --gpu_index); device selection "
+                             "here is --device")
     args = parser.parse_args(argv)
     if args.eval_scheme not in ("5-fold-cv", "5-time-train+valid+test",
                                 "5-fold-cv-standalone-test"):
