@@ -168,3 +168,54 @@ def test_resume_rejects_different_config(tmp_path, rng):
     run_5fold_cv(bags, cfg2, log=logs.append, save_dir=save_dir)
     assert not any("Resuming fold" in l for l in logs)
     assert any("different" in l for l in logs)
+
+
+def test_resume_rejects_cross_scheme_folds(tmp_path, rng):
+    """Folds trained by 5-fold-cv must NOT be adopted by a standalone-test
+    resume with the same config: the schemes share the fold_{k}.pth
+    namespace, and a standalone run scoring its holdout with plain-CV fold
+    models would have trained on the holdout (leakage)."""
+    from tpumil.train.schemes import run_5fold_cv_standalone_test
+
+    bags = make_separable_bags(rng, num_bags=15, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    save_dir = str(tmp_path / "w")
+    cfg = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=3, lr=1e-3,
+                         stop_epochs=2, verbose=False, seed=0, resume=True)
+    run_5fold_cv(bags, cfg, log=lambda s: None, save_dir=save_dir)
+    logs = []
+    run_5fold_cv_standalone_test(bags, cfg, log=logs.append, save_dir=save_dir)
+    assert not any("Resuming fold" in l for l in logs)
+    assert any("different" in l for l in logs)
+    # and a same-scheme rerun DOES adopt its own folds
+    logs2 = []
+    run_5fold_cv_standalone_test(bags, cfg, log=logs2.append, save_dir=save_dir)
+    assert any("Resuming fold" in l for l in logs2)
+
+
+def test_resumed_fold_matches_uninterrupted_run(tmp_path, rng):
+    """Per-fold host RNG: a run that resumes folds 0-1 must produce the SAME
+    later folds as the uninterrupted run (a single shared stream would
+    desynchronize after any skipped fold)."""
+    bags = make_separable_bags(rng, num_bags=15, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    cfg = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=3, lr=1e-3,
+                         stop_epochs=2, verbose=False, seed=0, resume=True,
+                         dropout_patch=0.3)  # exercises the rng-driven path
+    full = run_5fold_cv(bags, cfg, log=lambda s: None,
+                        save_dir=str(tmp_path / "a"))
+    # same experiment in a second save dir, then delete folds 2-4 so the
+    # resumed run adopts 0-1 and retrains exactly 2-4
+    save_b = str(tmp_path / "b")
+    run_5fold_cv(bags, cfg, log=lambda s: None, save_dir=save_b)
+    for k in (2, 3, 4):
+        os.remove(os.path.join(save_b, f"fold_{k}.done.json"))
+        os.remove(os.path.join(save_b, f"fold_{k}.pth"))
+    logs = []
+    resumed = run_5fold_cv(bags, cfg, log=logs.append, save_dir=save_b)
+    assert sum("Resuming fold" in l for l in logs) == 2
+    for k in (2, 3, 4):
+        np.testing.assert_allclose(resumed["folds"][k]["aucs"],
+                                   full["folds"][k]["aucs"], atol=1e-6)
+        np.testing.assert_allclose(resumed["folds"][k]["thresholds"],
+                                   full["folds"][k]["thresholds"], atol=1e-6)

@@ -59,11 +59,7 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
     bags = shuffle_with_class_coverage(list(bags), cfg.cv_fold, rng)
     lr_of = cosine_annealing_lr(cfg.lr, cfg.num_epochs, 0.0)
     # ship the dataset to device once; folds are device-side gathers
-    global_store = None
-    if cfg.use_device_store:
-        from tpumil.data.device_store import DeviceBagStore
-
-        global_store = DeviceBagStore(bags)
+    global_store = _global_store(bags, cfg)
     accs = []
     indices = list(range(len(bags)))
     # one trainer (and one set of compiled programs) for all folds; the
@@ -270,20 +266,23 @@ def run_5fold_cv(bags: List[Bag], cfg: WSITrainConfig,
                  save_dir: Optional[str] = None) -> dict:
     """train_tcga.py:252-294."""
     trainer = _make_trainer(cfg)
-    rng = np.random.default_rng(cfg.seed)
     store = _global_store(bags, cfg)
     fold_results = []
     for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(bags), 5)):
-        resumed = _try_resume_fold(cfg, save_dir, fold, log)
+        resumed = _try_resume_fold(cfg, save_dir, fold, log, "5-fold-cv")
         if resumed is not None:
             fold_results.append(resumed)
             continue
         log(f"Starting CV fold {fold}.")
         save_cb = _fold_saver(save_dir, fold, cfg.model) if save_dir else None
         tr, te = _fold_views(store, bags, tr_idx, te_idx)
-        best = train_fold(trainer, tr, te, cfg, rng,
+        # per-fold host rng: a resumed run's later folds see the same
+        # shuffle/dropout streams as an uninterrupted run (a single shared
+        # stream would desynchronize after any skipped fold)
+        best = train_fold(trainer, tr, te, cfg,
+                          np.random.default_rng([cfg.seed, fold]),
                           jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
-        _mark_fold_done(save_dir, fold, best, cfg)
+        _mark_fold_done(save_dir, fold, best, "5-fold-cv", cfg)
         fold_results.append(best)
     mean_ac = float(np.mean([b["acc"] for b in fold_results]))
     mean_auc = np.mean(np.array([b["aucs"] for b in fold_results]), axis=0)
@@ -353,15 +352,17 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
 
     fold_models = []
     fold_results = []
+    scheme = "5-fold-cv-standalone-test"
     for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(rest), 5)):
-        resumed = _try_resume_fold(cfg, save_dir, fold, log)
+        resumed = _try_resume_fold(cfg, save_dir, fold, log, scheme)
         if resumed is None:
             log(f"Starting CV fold {fold}.")
             save_cb = _fold_saver(save_dir, fold, cfg.model) if save_dir else None
             tr, te = _fold_views(store, bags, rest_idx[tr_idx], rest_idx[te_idx])
-            best = train_fold(trainer, tr, te, cfg, rng,
+            best = train_fold(trainer, tr, te, cfg,
+                              np.random.default_rng([cfg.seed, fold]),
                               jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
-            _mark_fold_done(save_dir, fold, best, cfg)
+            _mark_fold_done(save_dir, fold, best, scheme, cfg)
         else:
             best = resumed
         fold_models.append((best["params"], best["thresholds"]))
@@ -372,9 +373,10 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
         holdout_eval = store.subset(order[:n_hold])
     fold_predictions = []
     labels = None
+    eval_rng = np.random.default_rng([cfg.seed, 5])  # resume-independent
     for params, thresholds in fold_models:
         res = evaluate_bags(trainer, params, holdout_eval, cfg,
-                            thresholds=thresholds, rng=rng)
+                            thresholds=thresholds, rng=eval_rng)
         fold_predictions.append(res["predictions"])
         labels = res["labels"]
     stack = np.stack(fold_predictions, axis=0)
@@ -407,16 +409,22 @@ def _fold_marker(save_dir: str, fold: int) -> str:
     return os.path.join(save_dir, f"fold_{fold}.done.json")
 
 
-def _cfg_fingerprint(cfg: WSITrainConfig) -> str:
+def _cfg_fingerprint(cfg: WSITrainConfig, scheme: str) -> str:
     """Identifies an experiment so --resume never adopts a different run's
-    results (seed/model/optimization must match)."""
-    return (f"{cfg.model}|{cfg.seed}|{cfg.lr}|{cfg.num_epochs}|"
-            f"{cfg.weight_decay}|{cfg.num_classes}|{cfg.feats_size}|"
-            f"{cfg.nonlinear}|{cfg.dropout_patch}|{cfg.dropout_node}")
+    results. The SCHEME is part of the identity: all three eval schemes
+    share the fold_{k}.pth / fold_{k}.done.json namespace in save_dir, and
+    a standalone-test run adopting plain-CV folds would score its holdout
+    with models trained on it (leakage). Every config field that shapes a
+    fold's result is included."""
+    return (f"{scheme}|{cfg.model}|{cfg.seed}|{cfg.lr}|{cfg.num_epochs}|"
+            f"{cfg.stop_epochs}|{cfg.weight_decay}|{cfg.num_classes}|"
+            f"{cfg.feats_size}|{cfg.nonlinear}|{cfg.dropout_patch}|"
+            f"{cfg.dropout_node}|{cfg.split}|{cfg.average}|{cfg.eta_min}|"
+            f"{cfg.eval_interval}")
 
 
 def _try_resume_fold(cfg: WSITrainConfig, save_dir: Optional[str], fold: int,
-                     log) -> Optional[dict]:
+                     log, scheme: str) -> Optional[dict]:
     """Load a completed fold's best model + metrics if its marker exists AND
     was produced by the same experiment config."""
     if not (cfg.resume and save_dir):
@@ -429,7 +437,7 @@ def _try_resume_fold(cfg: WSITrainConfig, save_dir: Optional[str], fold: int,
 
     with open(marker) as f:
         meta = json.load(f)
-    if meta.get("fingerprint") != _cfg_fingerprint(cfg):
+    if meta.get("fingerprint") != _cfg_fingerprint(cfg, scheme):
         log(f"fold {fold}: existing marker was produced by a different "
             "config; retraining (weights will be overwritten).")
         return None
@@ -440,7 +448,7 @@ def _try_resume_fold(cfg: WSITrainConfig, save_dir: Optional[str], fold: int,
             "acc": meta["acc"], "aucs": meta["aucs"]}
 
 
-def _mark_fold_done(save_dir: Optional[str], fold: int, best: dict,
+def _mark_fold_done(save_dir: Optional[str], fold: int, best: dict, scheme: str,
                     cfg: Optional[WSITrainConfig] = None) -> None:
     if not save_dir:
         return
@@ -448,7 +456,7 @@ def _mark_fold_done(save_dir: Optional[str], fold: int, best: dict,
     with open(_fold_marker(save_dir, fold), "w") as f:
         json.dump({"acc": best["acc"], "aucs": list(map(float, best["aucs"])),
                    "thresholds": list(map(float, best["thresholds"])),
-                   "fingerprint": _cfg_fingerprint(cfg) if cfg else None}, f)
+                   "fingerprint": _cfg_fingerprint(cfg, scheme) if cfg else None}, f)
 
 
 def _fold_saver(save_dir: str, fold: int, model: str = "dsmil"):

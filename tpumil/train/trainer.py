@@ -47,6 +47,23 @@ def patch_dropout_mask(rng, mask, keep_frac: float):
     return mask & (rank < k)
 
 
+
+def _gated_optimizer_step(optimizer, p, s, loss, grads, lr, real):
+    """Apply one optimizer step, gated by ``real`` — THE load-bearing
+    count-padding invariant (CLAUDE.md "Adam semantics stay exact"): for a
+    dummy bag (real=False) params AND every array leaf of opt_state must
+    come out bit-identical, because a plain zero-grad step would still
+    apply weight decay and advance Adam's moments/count. Shared by the XLA
+    and fused-Pallas per-bag steps so the two paths cannot drift."""
+    p2, s2 = optimizer.step(p, s, grads, lr)
+    p = jax.tree.map(lambda a, b: jnp.where(real, a, b), p2, p)
+    s = jax.tree.map(
+        lambda a, b: jnp.where(real, a, b) if hasattr(a, "dtype") else a,
+        s2, s)
+    return p, s, jnp.where(real, loss, 0.0)
+
+
+
 @dataclasses.dataclass
 class BagTrainer:
     """Per-bag DSMIL trainer with reference-equivalent optimization.
@@ -122,12 +139,8 @@ class BagTrainer:
             if self.dropout_patch > 0.0:
                 m = patch_dropout_mask(k_patch, m, keep_frac)
             loss, grads = jax.value_and_grad(bag_loss)(p, f, m, y, k_v, pw)
-            p2, s2 = self.optimizer.step(p, s, grads, lr)
-            p = jax.tree.map(lambda a, b: jnp.where(real, a, b), p2, p)
-            s = jax.tree.map(
-                lambda a, b: jnp.where(real, a, b) if hasattr(a, "dtype") else a,
-                s2, s)
-            return p, s, jnp.where(real, loss, 0.0)
+            return _gated_optimizer_step(self.optimizer, p, s, loss, grads,
+                                         lr, real)
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_bucket(params, opt_state, feats, mask, labels, perm, lr,
@@ -249,12 +262,8 @@ class BagTrainer:
             nv = jnp.take(n_valid, i)[None]
             y = jnp.take(labels, i, axis=0)
             loss, grads = jax.value_and_grad(fused_loss)(p, f, nv, y, pw)
-            p2, s2 = self.optimizer.step(p, s, grads, lr)
-            p = jax.tree.map(lambda a, b: jnp.where(real, a, b), p2, p)
-            s = jax.tree.map(
-                lambda a, b: jnp.where(real, a, b) if hasattr(a, "dtype") else a,
-                s2, s)
-            return p, s, jnp.where(real, loss, 0.0)
+            return _gated_optimizer_step(self.optimizer, p, s, loss, grads,
+                                         lr, real)
 
         @partial(jax.jit, donate_argnums=(0, 1))
         def fused_bucket(params, opt_state, feats, mask, labels, perm, lr,
@@ -348,6 +357,26 @@ class BagTrainer:
         params = self._mil.init_params(key, self.cfg)
         return params, self.optimizer.init(params)
 
+    @staticmethod
+    def _pad_chunk(feats, mask, labels, b_real):
+        """Pad the BAG axis of a list-path chunk to the next power of two —
+        the CLAUDE.md static-shape invariant ('per-bucket bag counts pad to
+        powers of two'): without it every odd leftover chunk size compiles a
+        fresh (b, nmax) program. Dummy rows are all-masked and flagged not
+        real (train updates are gated; eval rows past b_real are unread)."""
+        b_pad = 1
+        while b_pad < b_real:
+            b_pad *= 2
+        if b_pad == b_real:
+            return feats, mask, labels, np.arange(b_real) < b_real
+        pad = b_pad - b_real
+        feats = np.concatenate(
+            [feats, np.zeros((pad,) + feats.shape[1:], feats.dtype)])
+        mask = np.concatenate([mask, np.zeros((pad,) + mask.shape[1:], bool)])
+        labels = np.concatenate(
+            [labels, np.zeros((pad,) + labels.shape[1:], labels.dtype)])
+        return feats, mask, labels, np.arange(b_pad) < b_real
+
     def train_epoch(self, params, opt_state, bags, lr: float,
                     rng: np.random.Generator) -> Tuple[dict, object, float]:
         """One epoch of shuffled per-bag steps (train_tcga.py:55-76).
@@ -363,13 +392,15 @@ class BagTrainer:
         lr = jnp.asarray(lr, jnp.float32)
         for idxs, nmax in bucketed_chunks(bags, order, self.chunk_size, self.min_bucket):
             feats, mask, labels = pad_bags([bags[i] for i in idxs], nmax)
-            b = len(idxs)
+            feats, mask, labels, real = self._pad_chunk(feats, mask, labels,
+                                                        len(idxs))
+            b = feats.shape[0]
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
             params, opt_state, loss = self._train_bucket_any(
                 params, opt_state, jnp.asarray(feats), jnp.asarray(mask),
                 jnp.asarray(labels), jnp.arange(b), lr, keys,
-                jnp.ones((b,), bool), nmax)
+                jnp.asarray(real), nmax)
             total += float(loss)
         return params, opt_state, total / max(len(bags), 1)
 
@@ -462,15 +493,19 @@ class BagTrainer:
         order = list(range(len(bags)))
         for idxs, nmax in bucketed_chunks(bags, order, self.eval_batch, self.min_bucket):
             feats, mask, labels = pad_bags([bags[i] for i in idxs], nmax)
+            feats, mask, labels, _ = self._pad_chunk(feats, mask, labels,
+                                                     len(idxs))
             keys = jax.random.split(
-                jax.random.PRNGKey(int(rng.integers(1 << 62))), len(idxs))
+                jax.random.PRNGKey(int(rng.integers(1 << 62))), feats.shape[0])
             losses, scores, avg_scores = self._eval_chunk_any(
                 params, jnp.asarray(feats), jnp.asarray(mask),
                 jnp.asarray(labels), keys, nmax)
-            chosen = avg_scores if average else scores
-            for j, i in enumerate(idxs):
-                scores_out[i] = np.asarray(chosen[j])
-                losses_out[i] = float(losses[j])
+            # ONE device->host transfer per chunk (per-element indexing would
+            # issue 2 tiny dispatches per bag through the tunnel)
+            chosen = np.asarray(avg_scores if average else scores)
+            losses_np = np.asarray(losses)
+            scores_out[np.asarray(idxs)] = chosen[:len(idxs)]
+            losses_out[np.asarray(idxs)] = losses_np[:len(idxs)]
         return scores_out, losses_out
 
     def _predict_store(self, params, store, *, average: bool,
