@@ -75,9 +75,19 @@ def test_embed_dataset_streaming(tmp_path, rng):
                           num_workers=2)
     master = embed_dataset_streaming(
         str(tmp_path / "WSI"), "demo", ex, str(tmp_path / "datasets"), cfg,
-        "tif", (0,), log=lambda s: None)
+        "tif", (0,), batch_size=4, log=lambda s: None)
     assert os.path.exists(master)
     import pandas as pd
 
     df = pd.read_csv(master)
     assert len(df) == 2 and set(df["label"]) == {0, 1}
+    # position sidecars exist per bag, match the bag's row count, and are
+    # NOT listed as bags in the master CSV
+    for bag_path in df[df.columns[0]]:
+        pos = bag_path[:-4] + ".pos.csv"
+        assert os.path.exists(pos), pos
+        n_feats = len(pd.read_csv(bag_path))
+        pos_df = pd.read_csv(pos)
+        assert list(pos_df.columns) == ["col", "row"]
+        assert len(pos_df) == n_feats
+        assert not bag_path.endswith(".pos.csv")

@@ -73,7 +73,8 @@ def main(argv=None):
                             workers=args.workers)
     master = embed_dataset_streaming(
         args.wsi_root, args.dataset, extractor, args.out_root, tiler_cfg,
-        args.slide_format, tuple(args.magnifications))
+        args.slide_format, tuple(args.magnifications),
+        batch_size=args.batch_size)
     print(f"master CSV: {master}")
     return 0
 

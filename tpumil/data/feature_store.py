@@ -134,7 +134,8 @@ def build_dataset_csvs(feats_root: str, dataset: str, out_dir: Optional[str] = N
                         if os.path.isdir(d))
     all_dfs = []
     for i, class_dir in enumerate(class_dirs):
-        bag_csvs = sorted(glob.glob(os.path.join(class_dir, "*.csv")))
+        bag_csvs = sorted(c for c in glob.glob(os.path.join(class_dir, "*.csv"))
+                          if not c.endswith(".pos.csv"))  # position sidecars
         df = pd.DataFrame(bag_csvs)
         df["label"] = i
         df.to_csv(os.path.join(out_dir, os.path.basename(class_dir) + ".csv"),

@@ -70,6 +70,21 @@ def decode_patch(path: str, patch_size: Optional[int] = None,
     return arr.astype(np.float32) / 255.0 if as_float else arr
 
 
+def queue_put_or_stop(q: "queue.Queue", stop: "threading.Event", item) -> bool:
+    """Enqueue without deadlocking if the consumer already left (a plain
+    q.put on a full queue would pin the producer thread and its ~100MB
+    batches forever). Shared by every producer/consumer pipeline
+    (PatchBatchLoader here, infer/stream_embed)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
+
 class PatchBatchLoader:
     """Decode a list of patch files into fixed-shape batches with bounded
     prefetch.
@@ -125,16 +140,7 @@ class PatchBatchLoader:
         stop = threading.Event()
 
         def put_or_stop(item) -> bool:
-            """Enqueue without deadlocking if the consumer already left (a
-            plain q.put on a full queue would pin this thread and its ~100MB
-            batches forever)."""
-            while not stop.is_set():
-                try:
-                    q.put(item, timeout=0.1)
-                    return True
-                except queue.Full:
-                    continue
-            return False
+            return queue_put_or_stop(q, stop, item)
 
         def producer_native():
             from tpumil.utils import native

@@ -26,6 +26,32 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 
+
+def parse_objective_power(description) -> Optional[str]:
+    """Pull the scanner objective power out of an Aperio-style image
+    description ("... |AppMag = 20| ..."); None when absent/unparseable.
+    Shared by every TIFF-reading backend."""
+    desc = str(description)
+    if "AppMag" not in desc:
+        return None
+    try:
+        return desc.split("AppMag")[1].split("=")[1].split("|")[0].strip()
+    except (IndexError, ValueError):
+        return None
+
+
+def crop_padded(arr: np.ndarray, x: int, y: int, w: int, h: int) -> np.ndarray:
+    """Zero-padded crop: out-of-bounds parts of the requested window come
+    back black, like openslide's read_region. Shared by the full-array
+    backends."""
+    out = np.zeros((h, w, 3), np.uint8)
+    ys, xs = max(0, y), max(0, x)
+    ye, xe = min(arr.shape[0], y + h), min(arr.shape[1], x + w)
+    if ye > ys and xe > xs:
+        out[ys - y:ye - y, xs - x:xe - x] = arr[ys:ye, xs:xe]
+    return out
+
+
 class SlideBackend:
     """Protocol: level_dimensions[0] is full resolution; read_region takes a
     level-0 coordinate, a level index, and a (w, h) size in level pixels."""
@@ -108,38 +134,38 @@ class TiffBackend(SlideBackend):
         desc = self._im.tag_v2.get(270, "") if hasattr(self._im, "tag_v2") else ""
         if isinstance(desc, tuple):
             desc = desc[0] if desc else ""
-        if "AppMag" in str(desc):
-            try:
-                mag = str(desc).split("AppMag")[1].split("=")[1].split("|")[0].strip()
-                self.properties["openslide.objective-power"] = mag
-            except (IndexError, ValueError):
-                pass
+        mag = parse_objective_power(desc)
+        if mag is not None:
+            self.properties["openslide.objective-power"] = mag
         # cache decoded pages lazily (fine for the PIL fallback; the native
-        # libtiff service streams tiles without full decode)
+        # libtiff service streams tiles without full decode). Byte-capped:
+        # a stripped gigapixel slide would otherwise pin every decoded
+        # level in memory at once — beyond the cap only the page being
+        # read is kept (memory bounded by the largest single page).
         self._cache: Dict[int, np.ndarray] = {}
+        self._cache_cap = 512 << 20
 
     def _page_array(self, level: int) -> np.ndarray:
         with self._lock:  # PIL seek/decode is not thread-safe
             if level not in self._cache:
                 self._im.seek(self._pages[level])
-                self._cache[level] = np.asarray(self._im.convert("RGB"))
+                arr = np.asarray(self._im.convert("RGB"))
+                while self._cache and (sum(a.nbytes for a in
+                                           self._cache.values())
+                                       + arr.nbytes) > self._cache_cap:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[level] = arr
             return self._cache[level]
 
     def read_region(self, location, level, size):
         arr = self._page_array(level)
         ds = self.level_downsample(level)
-        x = int(location[0] / ds)
-        y = int(location[1] / ds)
-        w, h = size
-        out = np.zeros((h, w, 3), np.uint8)
-        ys, xs = max(0, y), max(0, x)
-        ye, xe = min(arr.shape[0], y + h), min(arr.shape[1], x + w)
-        if ye > ys and xe > xs:
-            out[ys - y:ye - y, xs - x:xe - x] = arr[ys:ye, xs:xe]
-        return out
+        return crop_padded(arr, int(location[0] / ds), int(location[1] / ds),
+                           size[0], size[1])
 
     def close(self):
-        self._im.close()
+        with self._lock:  # never close mid-decode of a pool worker
+            self._im.close()
 
 
 class ImageBackend(SlideBackend):
@@ -160,14 +186,8 @@ class ImageBackend(SlideBackend):
         self.properties = {}
 
     def read_region(self, location, level, size):
-        x, y = location
-        w, h = size
-        out = np.zeros((h, w, 3), np.uint8)
-        ys, xs = max(0, y), max(0, x)
-        ye, xe = min(self._arr.shape[0], y + h), min(self._arr.shape[1], x + w)
-        if ye > ys and xe > xs:
-            out[ys - y:ye - y, xs - x:xe - x] = self._arr[ys:ye, xs:xe]
-        return out
+        return crop_padded(self._arr, location[0], location[1],
+                           size[0], size[1])
 
 
 class NativeTiffBackend(SlideBackend):
@@ -188,13 +208,9 @@ class NativeTiffBackend(SlideBackend):
             raise IOError(f"{path} is a stripped TIFF; use TiffBackend")
         self.level_dimensions = list(self._tif.level_dimensions)
         self.properties = {}
-        if "AppMag" in self._tif.description:
-            try:
-                mag = self._tif.description.split("AppMag")[1].split("=")[1] \
-                    .split("|")[0].strip()
-                self.properties["openslide.objective-power"] = mag
-            except (IndexError, ValueError):
-                pass
+        mag = parse_objective_power(self._tif.description)
+        if mag is not None:
+            self.properties["openslide.objective-power"] = mag
 
     def read_region(self, location, level, size):
         ds = self.level_downsample(level)
@@ -305,13 +321,22 @@ def magnification_plan(dz: DeepZoom, mag_levels: Tuple[int, ...], base_mag: floa
                        objective: float) -> List[Tuple[int, int]]:
     """Map requested magnification offsets to deep-zoom levels
     (deepzoom_tiler.py:163-168 + :95-97). Returns [(dz_level, magnification)]
-    in the order tiles should be produced (ascending dz level = low mag
-    first).
+    ordered by ascending offset — plan[0] is the HIGHEST magnification
+    (largest dz level); _tile_pyramid unpacks it as high_dz.
 
     mag_levels: offsets below base_mag, e.g. (0,) = base only, (0, 2) =
     base and base/4 (two pyramid levels apart).
     """
     mag_base = dz.slide.objective_power(objective)
+    if mag_base < base_mag:
+        raise ValueError(
+            f"slide objective power {mag_base}x is below the requested "
+            f"base magnification {base_mag}x — lower --base_mag (the "
+            f"reference would compute a negative level here and crash, "
+            f"deepzoom_tiler.py:166)")
+    # int() truncation (not round) mirrors deepzoom_tiler.py:166 exactly:
+    # a 30x slide with base_mag=20 truncates to first_level 0 (tiled at
+    # 30x) just like the reference
     first_level = int(math.log2(mag_base / base_mag))
     offsets = sorted(mag_levels)
     plan = []
