@@ -1,6 +1,7 @@
 """Checkpoint I/O tests: .pth round-trip and golden-file loading of the
 shipped example aggregator weights (tier 2 of SURVEY.md section 4)."""
 
+import collections
 import os
 
 import numpy as np
@@ -83,3 +84,77 @@ def test_positional_zip_surgery():
     out = torch_ckpt.positional_zip(stripped, ["conv1.weight", "conv2.weight", "fc.weight", "fc.bias"])
     assert list(out) == ["conv1.weight", "conv2.weight"]
     np.testing.assert_array_equal(out["conv1.weight"], np.ones((2, 2)))
+
+
+def test_torchvision_bn_checkpoint_routes_to_name_based_loader(tmp_path, rng):
+    """A torchvision-style batch-norm checkpoint interleaves
+    num_batches_tracked entries that the positional zip cannot express
+    (it would assign a 0-d counter onto a conv kernel and crash); such
+    checkpoints must route to the name-based loader — the compute_feats
+    '--norm_layer batch --weights <imagenet.pth>' path."""
+    import torch
+
+    from tpumil.models import embedder, resnet
+    from tpumil.models.embedder import EmbedderConfig
+
+    cfg = EmbedderConfig(backbone="resnet18", norm="batch", num_classes=1,
+                         compute_dtype=jnp.float32)
+    rcfg = cfg.resnet_cfg
+    sd = collections.OrderedDict()
+    torch_rng = np.random.default_rng(0)
+    conv_names = {n for n, _, _ in resnet.conv_specs(rcfg)}
+    shapes = {n: s for n, s, _ in resnet.conv_specs(rcfg)}
+    for name in resnet.param_names(rcfg):
+        if name in conv_names:
+            h, w, i, o = shapes[name]
+            sd[name] = torch.tensor(
+                torch_rng.standard_normal((o, i, h, w)).astype(np.float32))
+        else:
+            # bn weight/bias/running_mean/running_var take the conv's out ch
+            conv = [c for c in conv_names
+                    if resnet._norm_name_for(c) == name.rsplit(".", 1)[0]]
+            out_ch = shapes[conv[0]][3]
+            base = np.ones if name.endswith(("weight", "running_var")) \
+                else np.zeros
+            sd[name] = torch.tensor(base((out_ch,), dtype=np.float32))
+            if name.endswith("running_var"):
+                # after each BN group, torchvision appends the counter the
+                # positional order chokes on
+                sd[name.replace("running_var", "num_batches_tracked")] = \
+                    torch.tensor(7)
+    path = str(tmp_path / "imagenet_style.pth")
+    torch.save(sd, path)
+
+    params = embedder.load_simclr_checkpoint(path, cfg)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    feats, _ = embedder.forward(params, x, cfg)
+    assert np.all(np.isfinite(np.asarray(feats)))
+    # parity with the direct name-based loader
+    ref = resnet.load_torch_state_dict(
+        {k: v.numpy() for k, v in sd.items()
+         if not k.endswith("num_batches_tracked")}, rcfg)
+    f2 = resnet.forward(ref, x, rcfg)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(f2), atol=1e-6)
+
+
+def test_load_simclr_checkpoint_rejects_odd_surplus(tmp_path, rng):
+    """A checkpoint whose tensor count is neither exactly the backbone nor
+    backbone+4 must error at load (a blind 4-strip would silently discard
+    backbone convs)."""
+    import torch
+
+    from tpumil.models import embedder, resnet
+    from tpumil.models.embedder import EmbedderConfig
+
+    cfg = EmbedderConfig(backbone="resnet18", norm="instance", num_classes=1,
+                         compute_dtype=jnp.float32)
+    shapes = {n: s for n, s, _ in resnet.conv_specs(cfg.resnet_cfg)}
+    sd = collections.OrderedDict(
+        (n, torch.tensor(np.zeros((s[3], s[2], s[0], s[1]), np.float32)))
+        for n, s in shapes.items())
+    sd["fc.weight"] = torch.tensor(np.zeros((1, 512), np.float32))
+    sd["fc.bias"] = torch.tensor(np.zeros((1,), np.float32))  # surplus 2
+    path = str(tmp_path / "iclassifier.pth")
+    torch.save(sd, path)
+    with pytest.raises(ValueError, match="tensors"):
+        embedder.load_simclr_checkpoint(path, cfg)

@@ -18,7 +18,7 @@ SimCLR embedder (compute_feats.py:182-234, attention_map.py:151-160): a
 ResNetSimCLR state_dict whose last 4 entries (projection MLP l1/l2) are
 dropped, after which the remaining conv weights are zipped *positionally*
 (order-based, not name-based) onto the target ResNet's parameters. We
-reproduce that exact surgery in ``load_embedder_state_dict``.
+reproduce that exact surgery in ``embedder.load_simclr_checkpoint`` (the validated path; ``positional_zip`` below documents the raw idiom).
 
 torch (CPU build) is used for (de)serialisation; it is an I/O dependency
 only — no tensor math runs through it.
@@ -221,13 +221,3 @@ def positional_zip(values_sd: "collections.OrderedDict",
         out[dst_key] = v
     return out
 
-
-def load_embedder_state_dict(path: str, target_keys: List[str],
-                             strip_head: bool = True) -> "collections.OrderedDict":
-    """Load a SimCLR (or re-exported embedder) ``.pth`` and rename its entries
-    onto ``target_keys`` positionally, optionally stripping the projection
-    head first. Returns name -> numpy array."""
-    sd = load_state_dict(path)
-    if strip_head:
-        sd = strip_projection_head(sd)
-    return positional_zip(sd, target_keys)

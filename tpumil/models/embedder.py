@@ -72,7 +72,10 @@ class EmbedderConfig:
 
 
 def init_params(key, cfg: EmbedderConfig) -> Dict:
-    k1, k2 = jax.random.split(key)
+    # the split is load-bearing for reproducibility: every documented
+    # benchmark/fixture initialized the backbone from split(key)[0] (the
+    # head is zeros — untrained in the reference too, compute_feats.py:191)
+    k1, _ = jax.random.split(key)
     return {
         "backbone": resnet.init_params(k1, cfg.resnet_cfg),
         "fc": {"w": jnp.zeros((cfg.num_classes, cfg.num_feats)),
@@ -101,17 +104,33 @@ def load_simclr_checkpoint(path: str, cfg: EmbedderConfig,
     leaves it at random init, compute_feats.py:191).
 
     ``strip_head=None`` auto-detects the layout: a raw SimCLR checkpoint has
-    4 extra projection-MLP entries beyond the backbone's parameter count and
-    gets them stripped; an already-surgered embedder export (exactly the
-    backbone tensors) is used as-is.
+    exactly 4 extra projection-MLP entries beyond the backbone's parameter
+    count and gets them stripped; an already-surgered embedder export
+    (exactly the backbone tensors) is used as-is; any other count is an
+    error (a blind strip would discard backbone tensors). Torchvision-style
+    batch-norm checkpoints (which interleave num_batches_tracked entries
+    the positional order cannot express) route to the name-based loader.
     """
     from tpumil.io import torch_ckpt
 
     sd = torch_ckpt.load_state_dict(path)
     rcfg = cfg.resnet_cfg
+    if any(k.endswith("num_batches_tracked") for k in sd):
+        backbone = resnet.load_torch_state_dict(sd, rcfg)
+        return {
+            "backbone": backbone,
+            "fc": {"w": jnp.zeros((cfg.num_classes, cfg.num_feats)),
+                   "b": jnp.zeros((cfg.num_classes,))},
+        }
     n_params = len(resnet.param_names(rcfg))
     if strip_head is None:
-        strip_head = len(sd) > n_params
+        surplus = len(sd) - n_params
+        if surplus not in (0, 4):
+            raise ValueError(
+                f"checkpoint {path} has {len(sd)} tensors; expected exactly "
+                f"the {n_params} backbone tensors (surgered export) or "
+                f"{n_params + 4} (raw SimCLR with projection MLP)")
+        strip_head = surplus == 4
     if strip_head:
         sd = torch_ckpt.strip_projection_head(sd)
     values = list(sd.values())
@@ -136,12 +155,5 @@ def export_embedder_state_dict(params: Dict, cfg: EmbedderConfig) -> "collection
     """Re-export in the reference's embedder.pth layout: the surgered
     IClassifier keys ``feature_extractor.<torchvision name>`` in order
     (compute_feats.py:190-193)."""
-    sd = collections.OrderedDict()
-    rcfg = cfg.resnet_cfg
-    conv_names = {name for name, _, _ in resnet.conv_specs(rcfg)}
-    for name in resnet.param_names(rcfg):
-        v = np.asarray(params["backbone"][name], np.float32)
-        if name in conv_names:
-            v = np.transpose(v, (3, 2, 0, 1))  # HWIO -> OIHW
-        sd[f"feature_extractor.{name}"] = v
-    return sd
+    return resnet.export_state_dict(params["backbone"], cfg.resnet_cfg,
+                                    prefix="feature_extractor.")

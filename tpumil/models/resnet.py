@@ -299,9 +299,10 @@ def load_positional(values: List[np.ndarray], cfg: ResNetConfig) -> Dict[str, jn
     the reference's zip-rename surgery (compute_feats.py:187-190). Shape
     agreement is asserted to catch mis-ordered checkpoints early."""
     names = param_names(cfg)
-    if len(values) > len(names):
+    if len(values) != len(names):
         raise ValueError(f"checkpoint has {len(values)} tensors but arch has "
-                         f"{len(names)} params")
+                         f"{len(names)} params (a short checkpoint would "
+                         "silently load a truncated backbone)")
     params: Dict[str, jnp.ndarray] = {}
     spec_shapes = {name: shape for name, shape, _ in conv_specs(cfg)}
     for name, v in zip(names, values):
@@ -313,3 +314,23 @@ def load_positional(values: List[np.ndarray], cfg: ResNetConfig) -> Dict[str, jn
                                  f"expected {spec_shapes[name]}")
         params[name] = jnp.asarray(v)
     return params
+
+
+def to_oihw(v: np.ndarray) -> np.ndarray:
+    """Inverse of _to_hwio: export a conv kernel back to torch's OIHW."""
+    return np.transpose(v, (3, 2, 0, 1))
+
+
+def export_state_dict(backbone_params: Dict, cfg: ResNetConfig,
+                      prefix: str = "") -> "collections.OrderedDict":
+    """Backbone tensors in torchvision name order (convs as OIHW), each key
+    prefixed — the single source of the export layout every surgered
+    checkpoint format builds on (embedder.pth, SimCLR model.pth)."""
+    import collections
+
+    sd = collections.OrderedDict()
+    conv_names = {name for name, _, _ in conv_specs(cfg)}
+    for name in param_names(cfg):
+        v = np.asarray(backbone_params[name], np.float32)
+        sd[prefix + name] = to_oihw(v) if name in conv_names else v
+    return sd

@@ -27,12 +27,22 @@ class SimCLRConfig:
     base_model: str = "resnet18"     # config.yaml model.base_model
     out_dim: int = 256               # config.yaml model.out_dim
     compute_dtype: object = jnp.bfloat16
+    # MXU precision tier for the backbone convs AND the projection MLP
+    # (see ResNetConfig.precision): bf16 pretraining leaves "default"; f32
+    # parity checks pin "highest" — without it f32 matmuls feed the MXU
+    # bf16 inputs on TPU
+    precision: str = "default"
 
     @property
     def resnet_cfg(self) -> ResNetConfig:
-        depth = {"resnet18": 18, "resnet50": 50}[self.base_model]
-        return ResNetConfig(depth=depth, norm="instance",
-                            compute_dtype=self.compute_dtype)
+        depths = {"resnet18": 18, "resnet50": 50}  # resnet_simclr.py:10-11
+        if self.base_model not in depths:
+            raise ValueError(f"base_model must be one of {sorted(depths)} "
+                             f"(the reference's SimCLR supports these), "
+                             f"got {self.base_model!r}")
+        return ResNetConfig(depth=depths[self.base_model], norm="instance",
+                            compute_dtype=self.compute_dtype,
+                            precision=self.precision)
 
     @property
     def num_ftrs(self) -> int:
@@ -57,22 +67,18 @@ def init_params(key, cfg: SimCLRConfig) -> Dict:
 def forward(params: Dict, x, cfg: SimCLRConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """x: [B, H, W, 3] -> (h [B, num_ftrs], z [B, out_dim])."""
     h = resnet.forward(params["backbone"], x, cfg.resnet_cfg)
-    z = jax.nn.relu(h @ params["l1"]["w"].T + params["l1"]["b"])
-    z = z @ params["l2"]["w"].T + params["l2"]["b"]
+    prec = cfg.resnet_cfg.conv_precision
+    z = jax.nn.relu(jnp.matmul(h, params["l1"]["w"].T, precision=prec)
+                    + params["l1"]["b"])
+    z = jnp.matmul(z, params["l2"]["w"].T, precision=prec) + params["l2"]["b"]
     return h, z
 
 
 def export_state_dict(params: Dict, cfg: SimCLRConfig) -> "collections.OrderedDict":
     """Backbone convs (OIHW) in torchvision order + l1/l2 — the exact layout
     the embedder surgery expects (strip last 4, zip positionally)."""
-    sd = collections.OrderedDict()
-    rcfg = cfg.resnet_cfg
-    conv_names = {name for name, _, _ in resnet.conv_specs(rcfg)}
-    for name in resnet.param_names(rcfg):
-        v = np.asarray(params["backbone"][name], np.float32)
-        if name in conv_names:
-            v = np.transpose(v, (3, 2, 0, 1))
-        sd[f"features.{name}"] = v
+    sd = resnet.export_state_dict(params["backbone"], cfg.resnet_cfg,
+                                  prefix="features.")
     sd["l1.weight"] = np.asarray(params["l1"]["w"], np.float32)
     sd["l1.bias"] = np.asarray(params["l1"]["b"], np.float32)
     sd["l2.weight"] = np.asarray(params["l2"]["w"], np.float32)
