@@ -17,6 +17,7 @@ from tpumil.ops.image import (
 from tpumil.infer.heatmap import (
     BagInference,
     render_color_map,
+    render_single_class_map,
     run_attention_maps,
 )
 from tpumil.models import dsmil, embedder
@@ -29,7 +30,10 @@ import jax.numpy as jnp
 def test_rescale_intensity():
     x = np.asarray([1.0, 2.0, 3.0])
     np.testing.assert_allclose(rescale_intensity(x), [0.0, 0.5, 1.0])
-    np.testing.assert_allclose(rescale_intensity(np.full(3, 7.0)), [0.0, 0.0, 0.0])
+    # constant image: skimage returns the constant clipped into out_range
+    np.testing.assert_allclose(rescale_intensity(np.full(3, 7.0)), [1.0, 1.0, 1.0])
+    np.testing.assert_allclose(rescale_intensity(np.full(3, 0.5)), [0.5, 0.5, 0.5])
+    np.testing.assert_allclose(rescale_intensity(np.full(3, -3.0)), [0.0, 0.0, 0.0])
     np.testing.assert_allclose(rescale_intensity(x, (0, 255)), [0.0, 127.5, 255.0])
 
 
@@ -129,6 +133,30 @@ def test_benign_map_is_black(tmp_path, rng):
         infer, sorted(glob.glob(os.path.join(root, "*"))),
         thresholds=[1.1],  # impossible -> benign
         class_names=["tumor"], map_path=str(tmp_path / "maps"),
-        seed=0, log=lambda s: None)
+        seed=0, keep_maps=True, log=lambda s: None)
     assert results[0].detected == []
     assert np.all(results[0].color_map == 0.0)
+
+
+def test_render_single_class_map_matches_testing_script_math(rng):
+    """The testing scripts rescale the RAW attention (min-subtraction
+    included) and then scale a unit color — different from attention_map's
+    color-then-rescale order. Oracle transcribed from testing_tcga.py:
+    102-108."""
+    n = 7
+    attn = rng.random((n, 2)) * 0.3 + 0.1  # strictly positive mins
+    positions = np.stack([np.arange(n) // 3, np.arange(n) % 3], 1)
+    color = np.asarray([0.0, 1.0, 0.0])
+    got = render_single_class_map(attn[:, 0], positions, color, upscale=2)
+
+    a = attn[:, 0]
+    scaled = (a - a.min()) / (a.max() - a.min())
+    grid = np.zeros((positions[:, 0].max() + 1, positions[:, 1].max() + 1, 3))
+    for k, p in enumerate(positions):
+        grid[p[0], p[1]] = color * scaled[k]
+    want = np.repeat(np.repeat(grid, 2, 0), 2, 1)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    # the least-attended tile is black (min-subtraction preserved) — the
+    # property render_color_map's order loses
+    k_min = int(np.argmin(a))
+    assert np.all(got[positions[k_min, 0] * 2, positions[k_min, 1] * 2] == 0.0)

@@ -9,11 +9,17 @@ import sys
 
 
 def load_milnet(embedder_weights: str, aggregator_weights: str,
-                num_classes: int, norm: str = "instance"):
+                num_classes: int, norm: str = "instance",
+                backbone: str = "resnet18", precision: str = "f32"):
     """Shared model assembly of the inference scripts: embedder via the
     popitem/positional surgery (attention_map.py:151-160), aggregator from a
     reference-schema (or tpumil-ABMIL) .pth, instance head overwritten from
     the aggregator's ``i_classifier.fc.0.*`` (attention_map.py:162-165).
+
+    ``precision`` defaults to f32 to match compute_feats: the shipped
+    reference thresholds (0.52827..., 0.45798/0.58273) were derived from
+    f32 torch inference — bf16 embedding shifts sigmoid scores by O(1e-2)
+    and flips verdicts near the threshold.
 
     Returns (emb_params, emb_cfg, agg_params, model_name)."""
     import jax
@@ -23,8 +29,14 @@ def load_milnet(embedder_weights: str, aggregator_weights: str,
     from tpumil.models.embedder import EmbedderConfig
 
     agg_params, agg_cfg, model_name = torch_ckpt.load_mil_pth(aggregator_weights)
-    emb_cfg = EmbedderConfig(backbone="resnet18", norm=norm,
-                             num_classes=agg_cfg.num_classes)
+    if agg_cfg.num_classes != num_classes:
+        raise ValueError(
+            f"aggregator has {agg_cfg.num_classes} classes, expected "
+            f"{num_classes} (check --num_classes / the checkpoint)")
+    dtype, tier = embedder.precision_from_flag(precision)
+    emb_cfg = EmbedderConfig(backbone=backbone, norm=norm,
+                             num_classes=agg_cfg.num_classes,
+                             compute_dtype=dtype, precision=tier)
     if embedder_weights == "ImageNet":
         print("ImageNet embedder requested; supply a local .pth for real "
               "features (zero-egress environment). Using random init.")
@@ -33,8 +45,6 @@ def load_milnet(embedder_weights: str, aggregator_weights: str,
         emb_params = embedder.load_simclr_checkpoint(embedder_weights, emb_cfg)
     emb_params = embedder.set_head(
         emb_params, agg_params["i_fc"]["w"], agg_params["i_fc"]["b"])
-    assert agg_cfg.num_classes == num_classes, (
-        f"aggregator has {agg_cfg.num_classes} classes, expected {num_classes}")
     return emb_params, emb_cfg, agg_params, model_name
 
 
@@ -58,6 +68,12 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=None,
                         help="Seed for the per-class heatmap colors (the "
                              "reference draws them unseeded, attention_map.py:63)")
+    parser.add_argument("--backbone", type=str, default="resnet18")
+    parser.add_argument("--precision", default="f32",
+                        choices=["bf16", "f32", "f32h", "f32x"],
+                        help="Embedding precision; f32 matches the "
+                             "compute_feats default and the reference "
+                             "thresholds (docs/PERF.md 'Precision tiers')")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -73,7 +89,8 @@ def main(argv=None):
         raise ValueError("Number of thresholds does not match classes.")
 
     emb_params, emb_cfg, agg_params, model_name = load_milnet(
-        args.embedder_weights, args.aggregator_weights, args.num_classes)
+        args.embedder_weights, args.aggregator_weights, args.num_classes,
+        backbone=args.backbone, precision=args.precision)
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size, num_workers=args.num_workers,
                          model=model_name)

@@ -133,7 +133,9 @@ def main(argv=None):
                                  "or set embedder.weights")
             emb = cands[-1]
         emb_params, emb_cfg, agg_params, model_name = load_milnet(
-            emb, agg[0], cfg.train.num_classes, cfg.embedder.norm_layer)
+            emb, agg[0], cfg.train.num_classes, cfg.embedder.norm_layer,
+            backbone=cfg.embedder.backbone,
+            precision=cfg.embedder.precision)
         infer = BagInference(emb_params, emb_cfg, agg_params,
                              batch_size=cfg.inference.batch_size,
                              patch_size=cfg.embedder.patch_size,

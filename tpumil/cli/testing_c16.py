@@ -34,21 +34,26 @@ def main(argv=None):
     select_platform(args.device)
 
     from tpumil.cli.attention_map import load_milnet
-    from tpumil.infer.heatmap import BagInference, render_color_map, save_png
+    from tpumil.infer.heatmap import (BagInference, render_single_class_map,
+                                      save_png)
 
-    emb_params, emb_cfg, agg_params, _model = load_milnet(
-        args.embedder_weights, args.aggregator_weights, 1)
+    emb_params, emb_cfg, agg_params, model_name = load_milnet(
+        args.embedder_weights, args.aggregator_weights, args.num_classes)
     infer = BagInference(emb_params, emb_cfg, agg_params,
-                         batch_size=args.batch_size, num_workers=args.num_workers)
+                         batch_size=args.batch_size,
+                         num_workers=args.num_workers, model=model_name)
 
-    colors = [np.asarray([255, 0, 0])]  # tumor -> red
+    red = np.asarray([1.0, 0.0, 0.0])  # unit RGB (testing_c16 semantics:
+    # raw attention rescaled first, then scaled by the color)
     bags_list = sorted(glob.glob(os.path.join(args.bag_path, "*")))
     os.makedirs(args.output, exist_ok=True)
     for bag_dir in bags_list:
         scores, attn, _, positions = infer.run_bag(bag_dir, "jpg", args.average)
         tumor = float(np.squeeze(scores)) >= args.thres_tumor
         print(bag_dir + " is detected as: " + ("tumor" if tumor else "benign"))
-        cmap = render_color_map(attn, positions, [0] if tumor else [], colors)
+        cmap = render_single_class_map(
+            attn[:, 0] if tumor else np.zeros(attn.shape[0]),
+            positions, red if tumor else np.zeros(3))
         save_png(cmap, os.path.join(args.output,
                                     os.path.basename(bag_dir.rstrip(os.sep)) + ".png"))
     return 0

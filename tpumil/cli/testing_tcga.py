@@ -36,16 +36,19 @@ def main(argv=None):
     select_platform(args.device)
 
     from tpumil.cli.attention_map import load_milnet
-    from tpumil.infer.heatmap import BagInference, render_color_map, save_png
+    from tpumil.infer.heatmap import (BagInference, render_single_class_map,
+                                      save_png)
 
-    emb_params, emb_cfg, agg_params, _model = load_milnet(
-        args.embedder_weights, args.aggregator_weights, 2)
+    emb_params, emb_cfg, agg_params, model_name = load_milnet(
+        args.embedder_weights, args.aggregator_weights, args.num_classes)
     infer = BagInference(emb_params, emb_cfg, agg_params,
-                         batch_size=args.batch_size, num_workers=args.num_workers)
+                         batch_size=args.batch_size,
+                         num_workers=args.num_workers, model=model_name)
 
-    # LUAD green, LUSC blue (testing_tcga.py:91-95); colors scaled to 255 so
-    # render parity holds (reference uses [0,1]*attention then rescales).
-    colors = [np.asarray([0, 255, 0]), np.asarray([0, 0, 255])]
+    # LUAD green, LUSC blue, unit RGB like the reference (testing_tcga.py:
+    # 91-95: raw attention rescaled FIRST, then scaled by the unit color)
+    colors = [np.asarray([0.0, 1.0, 0.0]), np.asarray([0.0, 0.0, 1.0])]
+    black = np.zeros(3)
     bags_list = sorted(glob.glob(os.path.join(args.bag_path, "*")))
     os.makedirs(args.output, exist_ok=True)
     for bag_dir in bags_list:
@@ -53,17 +56,20 @@ def main(argv=None):
         scores = np.atleast_1d(np.squeeze(scores))
         luad, lusc = scores[0] >= args.thres_luad, scores[1] >= args.thres_lusc
         if luad and not lusc:
-            verdict, detected = "LUAD", [0]
+            verdict, cls = "LUAD", 0
         elif lusc and not luad:
-            verdict, detected = "LUSC", [1]
+            verdict, cls = "LUSC", 1
         elif not luad and not lusc:
-            verdict, detected = "benign", []
+            verdict, cls = "benign", None
         else:
-            verdict, detected = "both LUAD and LUSC", [0, 1]
+            # the reference's both-branch leaves color=[0,0,0] (and reuses a
+            # stale attention variable — UnboundLocalError on the first
+            # slide); a black map is what it writes when it doesn't crash
+            verdict, cls = "both LUAD and LUSC", None
         print(bag_dir + " is detected as: " + verdict)
-        # the reference renders only the first matched class's attention
-        # (testing_tcga.py:91-99); reproduce that
-        cmap = render_color_map(attn, positions, detected[:1], colors)
+        cmap = render_single_class_map(
+            attn[:, cls] if cls is not None else np.zeros(attn.shape[0]),
+            positions, colors[cls] if cls is not None else black)
         save_png(cmap, os.path.join(args.output,
                                     os.path.basename(bag_dir.rstrip(os.sep)) + ".png"))
     return 0

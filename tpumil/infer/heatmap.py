@@ -123,6 +123,30 @@ def render_color_map(attention: np.ndarray, positions: np.ndarray,
     return upscale_nearest(grid, upscale)
 
 
+def render_single_class_map(attention_c: np.ndarray, positions: np.ndarray,
+                            color01: np.ndarray, upscale: int = 32,
+                            ) -> np.ndarray:
+    """The TESTING scripts' render (testing_tcga.py:102-108,
+    testing_c16.py): the RAW attention column is rescaled to [0, 1] FIRST
+    (min-subtraction included — the least-attended tile goes black) and
+    then multiplied by a unit RGB color. This differs from
+    attention_map.py's order (color first, rescale the colored product,
+    which render_color_map reproduces): rescaling after coloring pins the
+    global min to the zero channels, losing the min-subtraction.
+
+    ``color01`` is RGB in [0, 1]; pass None/zeros for the reference's
+    black benign/both maps (its else-branches leave color=[0,0,0] — and
+    reuse the PREVIOUS slide's attention variable, an UnboundLocalError on
+    the first slide; rendering black deliberately fixes that without
+    changing any pixel the reference successfully writes)."""
+    scaled = rescale_intensity(np.asarray(attention_c, np.float64), (0.0, 1.0))
+    colored = scaled[:, None] * np.asarray(color01, np.float64)[None, :]
+    grid = np.zeros((positions[:, 0].max() + 1, positions[:, 1].max() + 1, 3))
+    for k, pos in enumerate(positions):
+        grid[pos[0], pos[1]] = colored[k]
+    return upscale_nearest(grid, upscale)
+
+
 def save_png(image01: np.ndarray, path: str) -> None:
     from PIL import Image
 
@@ -146,10 +170,15 @@ def run_attention_maps(infer: BagInference, bags_list: Sequence[str],
                        map_path: str, colors: Optional[Sequence[np.ndarray]] = None,
                        patch_ext: str = "jpg", score_path: Optional[str] = None,
                        average: bool = False, seed: Optional[int] = None,
+                       keep_maps: bool = False,
                        log: Callable[[str], None] = print) -> List[BagResult]:
     """The attention_map.py main loop: per bag, detect classes, render + save
     the heatmap, optionally export scores. Colors default to random RGB per
-    class as the reference draws them (attention_map.py:63)."""
+    class as the reference draws them (attention_map.py:63).
+
+    ``keep_maps=False`` drops the rendered float64 map from the returned
+    BagResults after saving: a 300x200-tile WSI's x32 map is ~1.4 GB, so
+    retaining one per bag across a directory would OOM the host."""
     num_classes = len(thresholds)
     if colors is None:
         rng = np.random.default_rng(seed)
@@ -171,5 +200,6 @@ def run_attention_maps(infer: BagInference, bags_list: Sequence[str],
         if score_path:
             export_scores_csv(attn, positions,
                               os.path.join(score_path, slide_name + ".csv"))
-        results.append(BagResult(slide_name, scores, detected, attn, positions, cmap))
+        results.append(BagResult(slide_name, scores, detected, attn, positions,
+                                 cmap if keep_maps else None))
     return results

@@ -10,12 +10,14 @@ import numpy as np
 
 def rescale_intensity(image: np.ndarray, out_range=(0.0, 1.0)) -> np.ndarray:
     """skimage.exposure.rescale_intensity semantics with in_range='image':
-    linear map of [min, max] onto out_range, constant images -> out_min."""
+    linear map of [min, max] onto out_range; a constant image comes back
+    as the constant clipped into out_range (skimage's exact else-branch:
+    ``np.clip(image, omin, omax)``)."""
     image = np.asarray(image, dtype=np.float64)
     imin, imax = float(np.min(image)), float(np.max(image))
     omin, omax = float(out_range[0]), float(out_range[1])
     if imax == imin:
-        return np.full_like(image, omin)
+        return np.clip(image, omin, omax)
     scaled = (image - imin) / (imax - imin)
     return scaled * (omax - omin) + omin
 
