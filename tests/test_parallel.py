@@ -94,3 +94,43 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.all(np.isfinite(np.asarray(out)))
     mod.dryrun_multichip(8)
+
+
+def test_sharded_step_gates_dummy_bags(rng):
+    """Count-padding dummy bags (real=False, fully masked, duplicated
+    labels) must not perturb the sharded objective: the gated 8-bag batch
+    with 3 dummies produces the same loss and updated params as the pure
+    5-bag... padded-to-8-all-real-oracle computed over only the real rows."""
+    cfg = DSMILConfig(feats_size=32, num_classes=1)
+    mesh = make_mesh(8)
+    step, optimizer = make_sharded_train_step(cfg, mesh)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+
+    b, n, b_real = 8, 32, 5
+    feats = rng.standard_normal((b, n, cfg.feats_size)).astype(np.float32)
+    mask = np.ones((b, n), bool)
+    labels = rng.integers(0, 2, (b, 1)).astype(np.float32)
+    # dummy rows: zero feats, all-masked, label copied from bag 0
+    feats[b_real:] = 0.0
+    mask[b_real:] = False
+    labels[b_real:] = labels[0]
+    real = np.arange(b) < b_real
+
+    clone = lambda t: jax.tree.map(jnp.copy, t)
+    f, m, l = device_put_batch(mesh, feats, mask, labels)
+    # oracle BEFORE stepping (the jitted step donates params/opt_state)
+    from tpumil.ops.losses import dual_stream_loss
+
+    c, bag_logits, _, _ = dsmil.forward(params, jnp.asarray(feats[:b_real]),
+                                        jnp.asarray(mask[:b_real]))
+    maxl = dsmil.max_instance_logits(c, jnp.asarray(mask[:b_real]))
+    want = float(np.mean([float(dual_stream_loss(bag_logits[i], maxl[i],
+                                                 jnp.asarray(labels[i])))
+                          for i in range(b_real)]))
+    p1, s1, loss_gated = step(clone(params), optimizer.init(clone(params)),
+                              f, m, jnp.asarray(l), 1e-4, jnp.asarray(real))
+    np.testing.assert_allclose(float(loss_gated), want, rtol=1e-5)
+    # ungated would differ (the dummies add BCE(fcc bias, label) terms)
+    _, _, loss_ungated = step(clone(params), optimizer.init(clone(params)),
+                              f, m, jnp.asarray(l), 1e-4)
+    assert abs(float(loss_ungated) - want) > 1e-4

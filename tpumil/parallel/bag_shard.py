@@ -28,18 +28,18 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpumil.models.dsmil import ATTN_DIM, apply_q, apply_v, instance_logits
-from tpumil.ops.masked import NEG_INF
+from tpumil.ops.masked import NEG_INF, _fill, masked_argmax, masked_max
 
 
 def _local_forward(params, feats, mask, axis: str, compute_dtype):
     """Runs on each shard with feats [n_local, K], mask [n_local]."""
     f = feats.astype(compute_dtype)
     c = instance_logits(params, f, compute_dtype)               # [n_loc, C]
-    c_masked = jnp.where(mask[:, None], c, NEG_INF)
 
-    # -- critical instance: local argmax -> global candidate reduction
-    local_best_val = jnp.max(c_masked, axis=0)                  # [C]
-    local_best_idx = jnp.argmax(c_masked, axis=0)               # [C]
+    # -- critical instance: local masked argmax (ops/masked.py — the single
+    # source of the padded-row discipline) -> global candidate reduction
+    local_best_val = masked_max(c, mask[:, None], axis=0)       # [C]
+    local_best_idx = masked_argmax(c, mask[:, None], axis=0)    # [C]
     local_best_feat = f[local_best_idx]                         # [C, K]
     all_vals = jax.lax.all_gather(local_best_val, axis)         # [P, C]
     all_feats = jax.lax.all_gather(local_best_feat, axis)       # [P, C, K]
@@ -52,8 +52,11 @@ def _local_forward(params, feats, mask, axis: str, compute_dtype):
     v = apply_v(params, f, compute_dtype=compute_dtype)         # [n_loc, K]
 
     scale = 1.0 / jnp.sqrt(jnp.asarray(ATTN_DIM, compute_dtype))
-    a = (q @ q_max.T) * scale                                   # [n_loc, C]
-    a = jnp.where(mask[:, None], a, NEG_INF)
+    # pinned true f32 like the unsharded aggregator (dsmil._PREC) — TPU
+    # DEFAULT would feed the MXU bf16 inputs
+    a = jnp.matmul(q, q_max.T,
+                   precision=jax.lax.Precision.HIGHEST) * scale  # [n_loc, C]
+    a = _fill(a, mask[:, None], NEG_INF)
 
     # -- softmax over the global N: pmax then psum of exponentials
     local_max = jnp.max(a, axis=0)                              # [C]
@@ -63,8 +66,10 @@ def _local_forward(params, feats, mask, axis: str, compute_dtype):
     denom = jax.lax.psum(jnp.sum(p, axis=0), axis)              # [C]
 
     # -- bag embedding: psum of local partial A^T V
-    partial_bemb = p.T @ v                                      # [C, K]
-    bemb = jax.lax.psum(partial_bemb, axis) / jnp.maximum(denom, 1e-30)[:, None]
+    partial_bemb = jnp.matmul(p.T, v,
+                              precision=jax.lax.Precision.HIGHEST)  # [C, K]
+    bemb = jax.lax.psum(partial_bemb, axis) \
+        / jnp.maximum(denom, jnp.finfo(p.dtype).tiny)[:, None]
 
     wf = params["fcc"]["w"].astype(compute_dtype)
     bag_logits = jnp.einsum("ck,dck->d", bemb, wf,

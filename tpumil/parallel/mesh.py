@@ -72,8 +72,12 @@ def init_distributed(coordinator_address: Optional[str] = None,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except ValueError as e:
-        # ValueError = no cluster config detected (single-host run): benign.
-        if coordinator_address is not None:
+        # ValueError = no cluster config detected: benign ONLY for the bare
+        # call. If the caller explicitly described a cluster (any of the
+        # three args), swallowing would silently degrade an intended
+        # multi-process run into N independent single-host trainings.
+        if (coordinator_address is not None or num_processes is not None
+                or process_id is not None):
             raise
     except RuntimeError as e:
         # genuine coordination failures must NOT silently degrade a pod run
