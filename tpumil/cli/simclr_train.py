@@ -54,7 +54,7 @@ def main(argv=None):
     if args.config and os.path.exists(args.config):
         import yaml
 
-        cfg_yaml = yaml.safe_load(open(args.config))
+        cfg_yaml = yaml.safe_load(open(args.config)) or {}
     model_y = cfg_yaml.get("model", {})
     loss_y = cfg_yaml.get("loss", {})
     ds_y = cfg_yaml.get("dataset", {})

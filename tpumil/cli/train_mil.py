@@ -46,7 +46,7 @@ def main(argv=None):
         if args.num_feats:
             num_feats = args.num_feats
 
-    print("Dataset: " + args.datasets)
+    print("Dataset: " + (args.data_file or args.datasets))
     bags = parse_mil_file(path, num_feats=num_feats)
     cfg = MILBenchConfig(num_feats=num_feats, lr=args.lr, num_epochs=args.num_epoch,
                          cv_fold=args.cv_fold, weight_decay=args.weight_decay,

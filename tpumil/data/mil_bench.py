@@ -68,6 +68,10 @@ def cross_validation_split(items: list, fold: int, index: int) -> Tuple[list, li
     remainder chunk (when len % fold != 0) stays in training, exactly as the
     reference's chunking does."""
     n = len(items) // fold
+    if n == 0:
+        raise ValueError(
+            f"cv_fold={fold} exceeds the number of bags ({len(items)}); "
+            f"use at most {len(items)} folds")
     chunks = [items[i:i + n] for i in range(0, len(items), n)]
     test = chunks.pop(index)
     train = [x for ch in chunks for x in ch]

@@ -113,7 +113,7 @@ class PatchBatchLoader:
 
             use_native = (native.available() and patch_size is not None
                           and all(p.lower().endswith((".jpg", ".jpeg"))
-                                  for p in self.paths[:16]))
+                                  for p in self.paths))
         self.use_native = bool(use_native)
 
     def __len__(self) -> int:

@@ -63,6 +63,13 @@ class SimCLRTrainer:
                  mesh=None):
         self.model_cfg = model_cfg
         self.cfg = cfg
+        self._mesh_n = int(np.prod(mesh.devices.shape)) if mesh is not None \
+            else 1
+        if cfg.batch_size % self._mesh_n:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by the "
+                f"data-parallel mesh size {self._mesh_n} (sharded batches "
+                f"split evenly over devices)")
         self.optimizer = adam_torch(betas=(0.9, 0.999),
                                     weight_decay=cfg.weight_decay)
         self.mesh = mesh
@@ -140,13 +147,24 @@ class SimCLRTrainer:
         train_paths = [paths[i] for i in indices[split:]]
 
         params, opt_state = self.init(jax.random.PRNGKey(cfg.seed))
-        if fine_tune_from and os.path.exists(fine_tune_from):
-            from tpumil.io import torch_ckpt
+        if fine_tune_from:
+            # reference semantics (simclr.py:133-142): the YAML value is a
+            # RUN NAME resolved to ./runs/<name>/checkpoints/model.pth; a
+            # direct .pth path also works; failure warns, never silently
+            # trains from scratch
+            cands = [fine_tune_from,
+                     os.path.join("runs", fine_tune_from, "checkpoints",
+                                  "model.pth")]
+            found = next((c for c in cands if os.path.isfile(c)), None)
+            if found:
+                from tpumil.io import torch_ckpt
 
-            params = simclr.load_state_dict(
-                torch_ckpt.load_state_dict(fine_tune_from), self.model_cfg)
-            opt_state = self.optimizer.init(params)
-            log("Loaded pre-trained model with success.")
+                params = simclr.load_state_dict(
+                    torch_ckpt.load_state_dict(found), self.model_cfg)
+                opt_state = self.optimizer.init(params)
+                log("Loaded pre-trained model with success.")
+            else:
+                log("Pre-trained weights not found. Training from scratch.")
 
         ckpt_dir = os.path.join(run_dir, "checkpoints")
         os.makedirs(ckpt_dir, exist_ok=True)
@@ -188,8 +206,15 @@ class SimCLRTrainer:
 
             if epoch % cfg.eval_every_n_epochs == 0 and valid_paths:
                 # full batches only: zero-padded fake images would dominate
-                # NT-Xent and corrupt best-checkpoint selection
-                v_bs = min(cfg.batch_size, len(valid_paths))
+                # NT-Xent and corrupt best-checkpoint selection. In mesh
+                # mode the batch must also split evenly over devices.
+                v_bs = min(cfg.batch_size,
+                           (len(valid_paths) // self._mesh_n) * self._mesh_n)
+                if v_bs == 0:
+                    log(f"epoch {epoch}: validation skipped "
+                        f"({len(valid_paths)} paths < mesh size "
+                        f"{self._mesh_n})")
+                    continue
                 v_batches = len(valid_paths) // v_bs
                 v_loader = PatchBatchLoader(
                     valid_paths[:v_batches * v_bs], v_bs,

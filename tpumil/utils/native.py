@@ -16,11 +16,16 @@ import numpy as np
 
 _LIB = None
 _LOCK = threading.Lock()
-_SEARCH = [
-    os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
-                 "libtileservice.so"),
-    os.environ.get("TPUMIL_TILESERVICE", ""),
-]
+
+
+def _search_paths():
+    """Env override FIRST (so a user-supplied .so beats the repo build) and
+    read at load time, not import time (tests set it after import)."""
+    return [
+        os.environ.get("TPUMIL_TILESERVICE", ""),
+        os.path.join(os.path.dirname(__file__), "..", "..", "native", "build",
+                     "libtileservice.so"),
+    ]
 
 
 def _load():
@@ -28,7 +33,7 @@ def _load():
     with _LOCK:
         if _LIB is not None:
             return _LIB
-        for path in _SEARCH:
+        for path in _search_paths():
             if path and os.path.exists(path):
                 try:
                     lib = ctypes.CDLL(os.path.abspath(path))
