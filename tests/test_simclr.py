@@ -352,3 +352,68 @@ def test_full_pipeline_channel_moments(rng):
     assert abs(ours.std() - tv.std()) < 0.03, (ours.std(), tv.std())
     for ch in range(3):
         assert abs(ours[..., ch].mean() - tv[..., ch].mean()) < 0.025
+
+
+def test_simclr_resume_matches_uninterrupted(tmp_path, rng):
+    """Crash resume: fit 4 epochs straight vs fit 2 epochs + resume to 4 —
+    final params must match exactly (per-epoch (seed, epoch) RNG streams
+    make the resumed trajectory the uninterrupted one)."""
+    import dataclasses as dc
+
+    from PIL import Image
+
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    paths = []
+    for i in range(20):
+        arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"p{i}.jpeg")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+
+    model_cfg = SimCLRConfig(compute_dtype=jnp.float32)
+    cfg4 = SimCLRTrainConfig(batch_size=8, epochs=4, input_size=48,
+                             num_workers=2, lr=1e-4, log_every_n_steps=100)
+    straight = SimCLRTrainer(model_cfg, cfg4).fit(
+        paths, str(tmp_path / "a"), log=lambda s: None)
+
+    # interrupted at epoch 2 (same fingerprint requires same cfg.epochs, so
+    # simulate the crash by truncating: run the full config but stop early
+    # via a wrapper that raises after 2 epochs' state saves)
+    run_b = str(tmp_path / "b")
+    tr = SimCLRTrainer(model_cfg, cfg4)
+    calls = {"n": 0}
+    import tpumil.io.native_ckpt as nc
+
+    orig = nc.save_train_state
+
+    def bomb(path, params, opt_state, *, epoch, extra=None):
+        orig(path, params, opt_state, epoch=epoch, extra=extra)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise KeyboardInterrupt  # crash right after epoch 2's save
+
+    nc.save_train_state = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            tr.fit(paths, run_b, log=lambda s: None)
+    finally:
+        nc.save_train_state = orig
+
+    logs = []
+    resumed = SimCLRTrainer(model_cfg, cfg4).fit(
+        paths, run_b, log=logs.append, resume=True)
+    assert any("Resuming SimCLR pretraining at epoch 2" in l for l in logs)
+    for k in ("conv1.weight", "layer4.1.conv2.weight"):
+        np.testing.assert_allclose(
+            np.asarray(resumed["params"]["backbone"][k]),
+            np.asarray(straight["params"]["backbone"][k]), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(resumed["params"]["l2"]["w"]),
+        np.asarray(straight["params"]["l2"]["w"]), atol=1e-6)
+
+    # a different config must NOT adopt the state
+    other = SimCLRTrainer(model_cfg, dc.replace(cfg4, lr=5e-5))
+    logs2 = []
+    other.fit(paths, run_b, log=logs2.append, resume=True)
+    assert any("different" in l for l in logs2)

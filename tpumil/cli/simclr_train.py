@@ -42,6 +42,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="Shard the batch over N devices (0 = single)")
+    parser.add_argument("--resume", action="store_true",
+                        help="Continue an interrupted pretraining from the "
+                             "orbax train state under <run_dir>/state")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -102,7 +105,8 @@ def main(argv=None):
     run_dir = args.run_dir or os.path.join("runs", f"{args.dataset}-{args.level}")
     trainer = SimCLRTrainer(model_cfg, train_cfg, mesh=mesh)
     out = trainer.fit(paths, run_dir,
-                      fine_tune_from=cfg_yaml.get("fine_tune_from") or None)
+                      fine_tune_from=cfg_yaml.get("fine_tune_from") or None,
+                      resume=args.resume)
     print(f"best valid loss: {out['best_valid_loss']:.4f}; "
           f"checkpoint: {out['checkpoint']}")
     return 0

@@ -135,9 +135,27 @@ class SimCLRTrainer:
         params = simclr.init_params(key, self.model_cfg)
         return params, self.optimizer.init(params)
 
+    def _fingerprint(self) -> str:
+        """Experiment identity for --resume (same idea as the WSI fold
+        markers): every field that shapes the training trajectory."""
+        m, c = self.model_cfg, self.cfg
+        return (f"{m.base_model}|{m.out_dim}|{m.compute_dtype}|{m.precision}|"
+                f"{c.batch_size}|{c.lr}|{c.weight_decay}|{c.temperature}|"
+                f"{c.use_cosine_similarity}|{c.valid_size}|{c.warmup_epochs}|"
+                f"{c.input_size}|{c.seed}|{c.s}|{c.epochs}")
+
     def fit(self, patch_paths: Sequence[str], run_dir: str,
             log: Callable[[str], None] = print,
-            fine_tune_from: Optional[str] = None) -> dict:
+            fine_tune_from: Optional[str] = None,
+            resume: bool = False) -> dict:
+        """``resume=True`` continues an interrupted pretraining from the
+        orbax train state saved under ``run_dir/state`` every epoch (the
+        reference has no resume at all, SURVEY.md section 5): params, Adam
+        moments, epoch counter and best-valid restore, and the per-epoch
+        RNG streams are derived from (seed, epoch) so the resumed
+        trajectory is the uninterrupted one."""
+        from tpumil.io import native_ckpt
+
         cfg = self.cfg
         rng = np.random.default_rng(cfg.seed)
         paths = list(patch_paths)
@@ -167,19 +185,48 @@ class SimCLRTrainer:
                 log("Pre-trained weights not found. Training from scratch.")
 
         ckpt_dir = os.path.join(run_dir, "checkpoints")
+        state_dir = os.path.join(run_dir, "state")
         os.makedirs(ckpt_dir, exist_ok=True)
         from tpumil.utils.prof import ScalarLogger, ThroughputMeter
 
         scalars = ScalarLogger(run_dir)  # SummaryWriter role (simclr.py:36)
         meter = ThroughputMeter("patches")
         best_valid = float("inf")
-        key = jax.random.PRNGKey(cfg.seed + 1)
-        n_iter = 0
+        base_key = jax.random.PRNGKey(cfg.seed + 1)
+        start_epoch = 0
         history = {"train_loss": [], "valid_loss": []}
+        if resume and os.path.isdir(state_dir):
+            raw = native_ckpt.load_train_state(state_dir)
+            if raw.get("extra", {}).get("fingerprint") == self._fingerprint():
+                # re-restore against the live pytree template so optax's
+                # namedtuple state comes back typed (a raw orbax restore
+                # yields plain dicts)
+                st = native_ckpt.load_pytree(
+                    state_dir,
+                    target={"params": params, "opt_state": opt_state,
+                            "epoch": 0,
+                            "extra": {"fingerprint": "", "best_valid": 0.0}})
+                params = jax.tree.map(jnp.asarray, st["params"])
+                opt_state = jax.tree.map(
+                    lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x,
+                    st["opt_state"])
+                start_epoch = int(st["epoch"])
+                best_valid = float(st["extra"]["best_valid"])
+                log(f"Resuming SimCLR pretraining at epoch {start_epoch} "
+                    f"(best valid {best_valid:.4f}).")
+            else:
+                log("Existing train state was produced by a different "
+                    "config; training from scratch.")
+        n_batches_per_epoch = len(train_paths) // cfg.batch_size
+        n_iter = start_epoch * n_batches_per_epoch
 
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             lr = self.lr_at(epoch)
-            order = rng.permutation(len(train_paths))
+            # per-epoch streams derived from (seed, epoch): a resumed run's
+            # epoch E sees exactly the uninterrupted run's shuffle and keys
+            key = jax.random.fold_in(base_key, epoch)
+            order = np.random.default_rng(
+                [cfg.seed, epoch]).permutation(len(train_paths))
             epoch_paths = [train_paths[i] for i in order]
             # drop_last=True like the reference loader (dataset_wrapper.py:73)
             n_batches = len(epoch_paths) // cfg.batch_size
@@ -232,6 +279,16 @@ class SimCLRTrainer:
                     self.save(params, os.path.join(ckpt_dir, "model.pth"))
                     log("saved")
             scalars.log("cosine_lr_decay", lr, n_iter)
+            # crash-resume state: params + Adam moments + counters, every
+            # epoch (~1-2s of orbax I/O vs minutes-to-hours of pretraining)
+            native_ckpt.save_train_state(
+                state_dir, jax.tree.map(np.asarray, params),
+                jax.tree.map(
+                    lambda x: np.asarray(x) if hasattr(x, "dtype") else x,
+                    opt_state),
+                epoch=epoch + 1,
+                extra={"fingerprint": self._fingerprint(),
+                       "best_valid": float(best_valid)})
         scalars.close()
         ckpt_path = os.path.join(ckpt_dir, "model.pth")
         if not os.path.exists(ckpt_path):
