@@ -179,3 +179,36 @@ def test_embedder_layout_autodetect(tmp_path):
     for k in p_raw["backbone"]:
         np.testing.assert_allclose(np.asarray(p_raw["backbone"][k]),
                                    np.asarray(p_surg["backbone"][k]), atol=1e-6)
+
+
+def test_compute_feats_sharded_cli(tmp_path, rng, monkeypatch):
+    """--shard i/n splits the bag list disjointly; --assemble_only builds
+    the master CSV over the union — the multi-host scale-out contract."""
+    from PIL import Image
+
+    from tpumil.cli import compute_feats as cf_cli
+
+    monkeypatch.chdir(tmp_path)
+    for b in range(3):
+        d = tmp_path / "WSI" / "demo" / "single" / "tumor" / f"bag{b}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                            ).save(str(d / f"{i}_0.jpeg"))
+    args = ["--dataset", "demo", "--magnification", "single",
+            "--weights", "ImageNet", "--norm_layer", "batch",
+            "--num_classes", "1", "--patch_size", "32", "--device", "cpu",
+            "--out_root", "datasets"]
+    assert cf_cli.main(args + ["--shard", "0/2"]) == 0
+    done_first = sorted(glob.glob("datasets/demo/tumor/*.csv"))
+    assert len(done_first) == 2  # bags 0 and 2
+    assert not os.path.exists("datasets/demo/demo.csv")  # no master yet
+    assert cf_cli.main(args + ["--shard", "1/2"]) == 0
+    assert cf_cli.main(["--dataset", "demo", "--out_root", "datasets",
+                        "--assemble_only", "--device", "cpu"]) == 0
+    import pandas as pd
+
+    master = pd.read_csv("datasets/demo/demo.csv")
+    assert len(master) == 3
+    with pytest.raises(ValueError, match="i/n"):
+        cf_cli.main(args + ["--shard", "bogus"])

@@ -41,6 +41,14 @@ def main(argv=None):
                              " see docs/PERF.md 'Precision tiers'")
     parser.add_argument("--gpu_index", type=int, nargs="+", default=(0,),
                         help="Accepted for reference CLI compatibility (compute_feats.py --gpu_index); device selection here is --device")
+    parser.add_argument("--shard", type=str, default=None,
+                        help="'i/n': process only every n-th bag starting "
+                             "at i (multi-host scale-out of this stage; "
+                             "run --assemble_only once after all shards "
+                             "finish to build the dataset CSVs)")
+    parser.add_argument("--assemble_only", action="store_true",
+                        help="Skip extraction; just assemble the per-class "
+                             "and master dataset CSVs from existing bag CSVs")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -51,6 +59,7 @@ def main(argv=None):
     import jax
 
     from tpumil.data.feature_store import build_dataset_csvs
+    from tpumil.utils.sharding import parse_shard
     from tpumil.data.patches import list_bag_dirs
     from tpumil.io import torch_ckpt
     from tpumil.models import embedder
@@ -90,9 +99,18 @@ def main(argv=None):
         print("Use pretrained features.")
         return params
 
-    bag_dirs = list_bag_dirs(args.wsi_root, args.dataset, args.magnification)
     feats_path = os.path.join(args.out_root, args.dataset)
     os.makedirs(feats_path, exist_ok=True)
+    if args.assemble_only:
+        master = build_dataset_csvs(feats_path, args.dataset)
+        print(f"master CSV: {master}")
+        return 0
+    bag_dirs = list_bag_dirs(args.wsi_root, args.dataset, args.magnification)
+    shard = parse_shard(args.shard)
+    if shard is not None:
+        i, n = shard
+        bag_dirs = bag_dirs[i::n]
+        print(f"shard {i}/{n}: {len(bag_dirs)} bags")
     log = lambda s: (sys.stdout.write(s), sys.stdout.flush())
 
     if args.magnification == "tree":
@@ -113,7 +131,11 @@ def main(argv=None):
         compute_feats(bag_dirs, ex, feats_path, args.magnification, log)
         stats = ex.stats
 
-    build_dataset_csvs(feats_path, args.dataset)
+    if shard is None:
+        build_dataset_csvs(feats_path, args.dataset)
+    else:
+        print("shard done; run --assemble_only after all shards finish "
+              "to build the dataset CSVs")
     print(f"Throughput: {stats.patches_per_sec:.1f} patches/sec "
           f"({stats.patches} patches)")
     return 0

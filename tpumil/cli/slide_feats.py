@@ -32,6 +32,10 @@ def main(argv=None):
     # bf16 stays the explicit throughput opt-in
     parser.add_argument("--precision", default="f32",
                         choices=["bf16", "f32", "f32h", "f32x"])
+    parser.add_argument("--shard", type=str, default=None,
+                        help="'i/n': process only every n-th slide starting "
+                             "at i (multi-host scale-out; assemble the "
+                             "dataset CSVs after all shards finish)")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -71,11 +75,14 @@ def main(argv=None):
                             objective=args.objective,
                             background_threshold=args.background_t,
                             workers=args.workers)
+    from tpumil.utils.sharding import parse_shard
+
     master = embed_dataset_streaming(
         args.wsi_root, args.dataset, extractor, args.out_root, tiler_cfg,
         args.slide_format, tuple(args.magnifications),
-        batch_size=args.batch_size)
-    print(f"master CSV: {master}")
+        batch_size=args.batch_size, shard=parse_shard(args.shard))
+    if master:
+        print(f"master CSV: {master}")
     return 0
 
 

@@ -224,7 +224,8 @@ def embed_dataset_streaming(wsi_root: str, dataset: str,
                             slide_format: str = "svs",
                             mag_levels: Sequence[int] = (0,),
                             batch_size: int = 64,
-                            log: Callable[[str], None] = print) -> str:
+                            shard: Optional[Tuple[int, int]] = None,
+                            log: Callable[[str], None] = print) -> Optional[str]:
     """Stream every slide of ``WSI/<dataset>/<class>/*.<fmt>`` into per-bag
     feature CSVs + the master dataset CSV. Returns the master CSV path.
 
@@ -245,6 +246,11 @@ def embed_dataset_streaming(wsi_root: str, dataset: str,
         raise FileNotFoundError(
             f"no *.{slide_format} slides under {path_base}/<class>/ — check "
             "--wsi_root/--dataset, and --slide_format (default 'svs')")
+    slides = sorted(slides)  # deterministic order: shards must agree on it
+    if shard is not None:
+        i, n = shard
+        slides = slides[i::n]
+        log(f"shard {i}/{n}: {len(slides)} slides")
     feats_path = os.path.join(out_root, dataset)
     for i, slide_path in enumerate(slides):
         rel = os.path.relpath(slide_path, path_base)
@@ -265,4 +271,9 @@ def embed_dataset_streaming(wsi_root: str, dataset: str,
         log(f"[{i + 1}/{len(slides)}] {name}: {stats.tiles_kept}/"
             f"{stats.tiles_total} tiles -> feats in {stats.seconds:.1f}s "
             f"({stats.slides_per_min:.2f} slides/min)")
+    if shard is not None:
+        log("shard done; assemble the dataset CSVs once all shards finish "
+            "(tpumil.data.feature_store.build_dataset_csvs / compute_feats "
+            "--assemble_only)")
+        return None
     return build_dataset_csvs(feats_path, dataset)
