@@ -1,0 +1,86 @@
+"""Measure the XLA per-bag train step's peak working set per bucket shape.
+
+No live ``memory_stats`` is available through the tunnel, and a failed
+allocation leaves the remote runtime poisoned (every later dispatch in the
+same process fails INVALID_ARGUMENT) — so each trial runs in a FRESH
+subprocess: allocate a ballast array of S bytes, run one XLA ``train_bucket``
+dispatch at (b, nmax), exit 0/1. The largest surviving S bounds the step's
+peak footprint (bucket feats + autodiff residuals + staged f32 operand
+copies), giving the coefficients for
+:func:`tpumil.train.trainer.xla_bucket_workingset_bytes`.
+
+    python benchmarks/xla_workingset_probe.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+GIB = 2 ** 30
+
+TRIAL = r"""
+import sys
+import numpy as np
+import jax, jax.numpy as jnp
+from tpumil.models.dsmil import DSMILConfig
+from tpumil.train.trainer import BagTrainer
+
+b, nmax, ballast_bytes = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+cfg = DSMILConfig(feats_size=512, num_classes=1)
+tr = BagTrainer(cfg)
+params, opt_state = tr.init(jax.random.PRNGKey(0))
+ballast = jnp.zeros((max(ballast_bytes // 4, 1),), jnp.float32)
+ballast.block_until_ready()
+feats = jax.jit(
+    lambda k: jax.random.normal(k, (b, nmax, 512), jnp.float32))(
+        jax.random.PRNGKey(0))
+mask = jnp.ones((b, nmax), bool)
+labels = jnp.ones((b, 1), jnp.float32)
+keys = jax.random.split(jax.random.PRNGKey(1), b)
+p, s, loss = tr._train_bucket(
+    params, opt_state, feats, mask, labels, jnp.arange(b),
+    jnp.asarray(1e-4), keys, jnp.ones((b,), bool), tr._pw())
+assert np.isfinite(float(loss))
+print("OK", float(loss))
+"""
+
+
+def trial(b: int, nmax: int, ballast_bytes: int) -> bool:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, "-c", TRIAL, str(b), str(nmax), str(ballast_bytes)],
+        capture_output=True, text=True, timeout=900, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."))
+    ok = r.returncode == 0 and "OK" in r.stdout
+    tail = (r.stdout + r.stderr).strip().splitlines()
+    print(f"  b={b} n={nmax} ballast={ballast_bytes / GIB:.2f} GiB -> "
+          f"{'ok' if ok else 'FAIL: ' + (tail[-1][:100] if tail else '?')}",
+          flush=True)
+    return ok
+
+
+def main():
+    results = []
+    for b, nmax in ((2, 32768), (2, 65536), (2, 131072), (2, 262144),
+                    (8, 65536)):
+        if not trial(b, nmax, 0):
+            results.append({"b": b, "nmax": nmax, "fits": False})
+            continue
+        lo, hi = 0, 14 * GIB
+        while hi - lo > GIB // 4:
+            mid = (lo + hi) // 2
+            if trial(b, nmax, mid):
+                lo = mid
+            else:
+                hi = mid
+        results.append({"b": b, "nmax": nmax, "fits": True,
+                        "max_ballast_gib": round(lo / GIB, 2)})
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,52 @@ def test_simclr_data_parallel_mesh(rng):
     np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
 
 
+def test_mesh_skipped_validation_still_saves_resume_state(tmp_path, rng):
+    """Regression (ADVICE r2): when the valid split is smaller than the mesh
+    (v_bs == 0), validation is skipped but the per-epoch crash-resume state
+    must STILL be written — the old `continue` skipped it, so --resume
+    silently restarted from scratch."""
+    import dataclasses as dc
+
+    from PIL import Image
+    from jax.sharding import Mesh
+
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    paths = []
+    for i in range(20):
+        arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"p{i}.jpeg")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    model_cfg = SimCLRConfig(compute_dtype=jnp.float32)
+    # valid split = 2 paths < mesh size 4 -> v_bs == 0 every epoch
+    cfg = SimCLRTrainConfig(batch_size=4, epochs=1, input_size=48,
+                            num_workers=2, log_every_n_steps=100)
+    run_dir = str(tmp_path / "run")
+    logs = []
+    SimCLRTrainer(model_cfg, cfg, mesh=mesh).fit(paths, run_dir,
+                                                 log=logs.append)
+    assert any("validation skipped" in m for m in logs)
+    assert os.path.isdir(os.path.join(run_dir, "state"))
+    cfg2 = dc.replace(cfg, epochs=2)
+    logs2 = []
+    SimCLRTrainer(model_cfg, cfg2, mesh=mesh).fit(paths, run_dir,
+                                                  log=logs2.append,
+                                                  resume=True)
+    # different-epochs fingerprint restarts; same-config resume picks up
+    cfg3 = dc.replace(cfg, epochs=3)
+    tr3 = SimCLRTrainer(model_cfg, cfg3, mesh=mesh)
+    run3 = str(tmp_path / "run3")
+    l3 = []
+    tr3.fit(paths, run3, log=l3.append)
+    l4 = []
+    tr3.fit(paths, run3, log=l4.append, resume=True)
+    assert any(m.startswith("Resuming SimCLR pretraining at epoch 3") for m in l4)
+
+
 # ---------------------------------------------------------------------------
 # Statistical augmentation parity vs torchvision semantics (VERDICT item 9).
 # torchvision is not installed here, so the oracles below are independent

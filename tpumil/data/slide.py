@@ -307,8 +307,12 @@ class DeepZoom:
         lx, ly = x * scale, y * scale
         sw = max(1, min(math.ceil(scale * w), lw_l - math.ceil(lx)))
         sh = max(1, min(math.ceil(scale * h), lh_l - math.ceil(ly)))
+        # level-0 location in exact integer math (x * 2^k): routing it through
+        # lx*ds would re-truncate a 239.999... float on non-power-of-two level
+        # downsamples and shift the read by a pixel
         region = self.slide.read_region(
-            (int(lx * ds), int(ly * ds)), slide_level, (sw, sh))
+            (int(x * dz_downsample), int(y * dz_downsample)), slide_level,
+            (sw, sh))
         if (sw, sh) != (w, h):
             from PIL import Image
 

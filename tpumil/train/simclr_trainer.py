@@ -258,26 +258,30 @@ class SimCLRTrainer:
                 v_bs = min(cfg.batch_size,
                            (len(valid_paths) // self._mesh_n) * self._mesh_n)
                 if v_bs == 0:
+                    # skip ONLY the validation body — the epoch-end scalar
+                    # log and crash-resume save below must still run, or
+                    # --resume silently restarts from scratch
                     log(f"epoch {epoch}: validation skipped "
                         f"({len(valid_paths)} paths < mesh size "
                         f"{self._mesh_n})")
-                    continue
-                v_batches = len(valid_paths) // v_bs
-                v_loader = PatchBatchLoader(
-                    valid_paths[:v_batches * v_bs], v_bs,
-                    cfg.input_size, cfg.num_workers)
-                losses = []
-                for images, n_valid, _ in v_loader:
-                    key, sub = jax.random.split(key)
-                    losses.append(float(self._eval_step(params, sub,
-                                                        jnp.asarray(images))))
-                valid_loss = float(np.mean(losses)) if losses else float("inf")
-                history["valid_loss"].append(valid_loss)
-                scalars.log("validation_loss", valid_loss, epoch)
-                if valid_loss < best_valid:
-                    best_valid = valid_loss
-                    self.save(params, os.path.join(ckpt_dir, "model.pth"))
-                    log("saved")
+                else:
+                    v_batches = len(valid_paths) // v_bs
+                    v_loader = PatchBatchLoader(
+                        valid_paths[:v_batches * v_bs], v_bs,
+                        cfg.input_size, cfg.num_workers)
+                    losses = []
+                    for images, n_valid, _ in v_loader:
+                        key, sub = jax.random.split(key)
+                        losses.append(float(self._eval_step(
+                            params, sub, jnp.asarray(images))))
+                    valid_loss = (float(np.mean(losses)) if losses
+                                  else float("inf"))
+                    history["valid_loss"].append(valid_loss)
+                    scalars.log("validation_loss", valid_loss, epoch)
+                    if valid_loss < best_valid:
+                        best_valid = valid_loss
+                        self.save(params, os.path.join(ckpt_dir, "model.pth"))
+                        log("saved")
             scalars.log("cosine_lr_decay", lr, n_iter)
             # crash-resume state: params + Adam moments + counters, every
             # epoch (~1-2s of orbax I/O vs minutes-to-hours of pretraining)

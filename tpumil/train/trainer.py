@@ -219,9 +219,10 @@ class BagTrainer:
     # -- fused Pallas path for giant bags ------------------------------------
 
     def _use_fused(self, nmax: int) -> bool:
-        """Giant-bag buckets route through the fused Pallas kernels
-        automatically: a 65k-instance Camelyon16 bag should hit the O(tile)
-        streaming path without the user knowing the flag exists."""
+        """Buckets at/above ``fused_threshold`` instances route through the
+        fused Pallas kernels (O(tile) activation memory instead of the XLA
+        chain's O(N)). The threshold is opt-in (default None = always XLA,
+        which is faster at true-f32 parity at every measured N)."""
         return (self._fused_eligible and nmax >= self.fused_threshold
                 and nmax % min(self.fused_tile, nmax) == 0)
 
