@@ -134,3 +134,58 @@ def test_sharded_step_gates_dummy_bags(rng):
     _, _, loss_ungated = step(clone(params), optimizer.init(clone(params)),
                               f, m, jnp.asarray(l), 1e-4)
     assert abs(float(loss_ungated) - want) > 1e-4
+
+
+@pytest.mark.parametrize("inst_parallel", [4, 8])
+def test_instance_sharded_train_step_parity(rng, inst_parallel):
+    """VERDICT r2 #4: reference-faithful per-bag TRAINING for a bag sharded
+    over the instance axis. Three consecutive Adam steps through the
+    shard_map collectives must reproduce the single-device trajectory."""
+    from tpumil.ops.losses import dual_stream_loss
+    from tpumil.parallel.bag_shard import make_instance_sharded_train_step
+    from tpumil.train.optim import adam_torch
+
+    cfg = DSMILConfig(feats_size=64, num_classes=2)
+    devs = np.asarray(jax.devices()[:inst_parallel])
+    mesh = Mesh(devs, ("inst",))
+    step, optimizer = make_instance_sharded_train_step(mesh)
+
+    n, n_valid = 256, 229
+    feats = np.zeros((n, cfg.feats_size), np.float32)
+    feats[:n_valid] = rng.standard_normal((n_valid, cfg.feats_size))
+    mask = np.arange(n) < n_valid
+    label = np.asarray([1.0, 0.0], np.float32)
+    pw = jnp.ones((cfg.num_classes,), jnp.float32)
+    lr = jnp.asarray(2e-3, jnp.float32)
+
+    params0 = dsmil.init_params(jax.random.PRNGKey(3), cfg)
+
+    # single-device oracle trajectory
+    def bag_loss(p, f, m, y):
+        c, bag_logits, _, _ = dsmil.forward(p, f, m)
+        return dual_stream_loss(bag_logits, dsmil.max_instance_logits(c, m),
+                                y, pw)
+
+    p_ref = jax.tree.map(jnp.copy, params0)
+    s_ref = optimizer.init(p_ref)
+    ref_losses = []
+    for _ in range(3):
+        loss, grads = jax.value_and_grad(bag_loss)(
+            p_ref, jnp.asarray(feats), jnp.asarray(mask), jnp.asarray(label))
+        p_ref, s_ref = optimizer.step(p_ref, s_ref, grads, lr)
+        ref_losses.append(float(loss))
+
+    f, m = shard_bag(mesh, jnp.asarray(feats), jnp.asarray(mask))
+    p = jax.tree.map(jnp.copy, params0)
+    s = optimizer.init(p)
+    for i in range(3):
+        p, s, loss = step(p, s, f, m, jnp.asarray(label), lr, pw)
+        np.testing.assert_allclose(float(loss), ref_losses[i], rtol=1e-5,
+                                   err_msg=f"loss diverged at step {i}")
+    for k, want in jax.tree.leaves_with_path(p_ref):
+        got = {tuple(str(x) for x in kk): v
+               for kk, v in jax.tree.leaves_with_path(p)}[
+                   tuple(str(x) for x in k)]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-6,
+                                   err_msg=f"param {k} diverged")

@@ -32,7 +32,14 @@ from tpumil.ops.masked import NEG_INF, _fill, masked_argmax, masked_max
 
 
 def _local_forward(params, feats, mask, axis: str, compute_dtype):
-    """Runs on each shard with feats [n_local, K], mask [n_local]."""
+    """Runs on each shard with feats [n_local, K], mask [n_local].
+
+    Differentiable w.r.t. ``params``: every cross-shard reduction is either
+    a linear collective with a defined transpose (all_gather, psum) or a
+    gradient-neutral stabilizer (the softmax max shift, under
+    stop_gradient), so ``jax.grad`` through this body reproduces the
+    single-device gradients — pinned by
+    tests/test_parallel.py::test_instance_sharded_train_step_parity."""
     f = feats.astype(compute_dtype)
     c = instance_logits(params, f, compute_dtype)               # [n_loc, C]
 
@@ -58,9 +65,13 @@ def _local_forward(params, feats, mask, axis: str, compute_dtype):
                    precision=jax.lax.Precision.HIGHEST) * scale  # [n_loc, C]
     a = _fill(a, mask[:, None], NEG_INF)
 
-    # -- softmax over the global N: pmax then psum of exponentials
+    # -- softmax over the global N: max-shift (gradient-neutral, so
+    # stop_gradient keeps the backward off pmax's nondifferentiable path)
+    # then psum of exponentials
     local_max = jnp.max(a, axis=0)                              # [C]
-    global_max = jax.lax.pmax(local_max, axis)
+    # stop_gradient on the INPUT: pmax has no differentiation rule at all,
+    # so its operand must carry a symbolic-zero tangent
+    global_max = jax.lax.pmax(jax.lax.stop_gradient(local_max), axis)
     p = jnp.exp(a - global_max[None, :])
     p = jnp.where(mask[:, None], p, 0.0)
     denom = jax.lax.psum(jnp.sum(p, axis=0), axis)              # [C]
@@ -75,7 +86,9 @@ def _local_forward(params, feats, mask, axis: str, compute_dtype):
     bag_logits = jnp.einsum("ck,dck->d", bemb, wf,
                             precision=jax.lax.Precision.HIGHEST) \
         + params["fcc"]["b"].astype(compute_dtype)
-    max_ins = jax.lax.pmax(local_best_val, axis)                # [C]
+    # max instance logit via the already-gathered candidates: jnp.max routes
+    # the loss gradient to the winning shard's row (pmax has no VJP)
+    max_ins = jnp.max(all_vals, axis=0)                         # [C]
     return bag_logits, max_ins, bemb
 
 
@@ -86,16 +99,8 @@ def make_instance_sharded_forward(mesh: Mesh, axis: str = "inst",
     the instance axis sharded over ``mesh[axis]`` and everything else
     replicated. N must divide evenly by the axis size."""
     body = partial(_local_forward, axis=axis, compute_dtype=compute_dtype)
-    in_specs = (P(), P(axis, None), P(axis))
-    out_specs = (P(), P(), P())
-    try:  # jax >= 0.9 stable API (check_vma instead of check_rep)
-        fn = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False)
-    except (AttributeError, TypeError):
-        from jax.experimental.shard_map import shard_map as _sm
-
-        fn = _sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                 check_rep=False)
+    fn = _shard_map(body, mesh, in_specs=(P(), P(axis, None), P(axis)),
+                    out_specs=(P(), P(), P()))
     return jax.jit(fn)
 
 
@@ -103,3 +108,58 @@ def shard_bag(mesh: Mesh, feats, mask, axis: str = "inst"):
     """Place one padded bag onto the mesh with the instance axis sharded."""
     return (jax.device_put(feats, NamedSharding(mesh, P(axis, None))),
             jax.device_put(mask, NamedSharding(mesh, P(axis))))
+
+
+def _shard_map(body, mesh, in_specs, out_specs):
+    try:  # jax >= 0.9 stable API (check_vma instead of check_rep)
+        return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map as _sm
+
+        return _sm(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                   check_rep=False)
+
+
+def make_instance_sharded_train_step(mesh: Mesh, optimizer=None,
+                                     axis: str = "inst",
+                                     compute_dtype=jnp.float32):
+    """Reference-faithful per-bag training for a bag LARGER than one chip.
+
+    The reference trains one Adam step per bag, with the whole bag resident
+    on one GPU (train_tcga.py:55-76, dsmil.py:52-57). This step keeps those
+    optimization semantics exactly while sharding the bag's instance axis
+    over ``mesh[axis]``: the forward is the explicit-collective
+    :func:`_local_forward` and the backward differentiates straight through
+    its all_gather/psum collectives (their transposes are XLA collectives
+    too, riding the same ICI links), so gradients — and therefore the Adam
+    trajectory — match the single-device step (pinned on the 8-device CPU
+    mesh in tests/test_parallel.py).
+
+    Returns ``(step, optimizer)`` where
+    ``step(params, opt_state, feats [N, K], mask [N], label [C], lr, pw)
+    -> (params, opt_state, loss)``; feats/mask sharded via
+    :func:`shard_bag`, params and opt_state replicated. N must divide
+    evenly by the axis size (pad + mask, ops/masked.py discipline).
+    """
+    from tpumil.ops.losses import dual_stream_loss
+    from tpumil.train.optim import adam_torch
+
+    optimizer = optimizer or adam_torch(betas=(0.5, 0.9), weight_decay=0.0)
+    fwd = _shard_map(
+        partial(_local_forward, axis=axis, compute_dtype=compute_dtype),
+        mesh, in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(), P(), P()))
+
+    def loss_fn(params, feats, mask, label, pw):
+        bag_logits, max_ins, _ = fwd(params, feats, mask)
+        return dual_stream_loss(bag_logits, max_ins, label, pw)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, feats, mask, label, lr, pw):
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats, mask,
+                                                  label, pw)
+        params, opt_state = optimizer.step(params, opt_state, grads, lr)
+        return params, opt_state, loss
+
+    return step, optimizer
