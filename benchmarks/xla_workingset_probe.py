@@ -51,34 +51,43 @@ print("OK", float(loss))
 def trial(b: int, nmax: int, ballast_bytes: int) -> bool:
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
-    r = subprocess.run(
-        [sys.executable, "-c", TRIAL, str(b), str(nmax), str(ballast_bytes)],
-        capture_output=True, text=True, timeout=900, env=env,
-        cwd=os.path.join(os.path.dirname(__file__), ".."))
-    ok = r.returncode == 0 and "OK" in r.stdout
-    tail = (r.stdout + r.stderr).strip().splitlines()
-    print(f"  b={b} n={nmax} ballast={ballast_bytes / GIB:.2f} GiB -> "
-          f"{'ok' if ok else 'FAIL: ' + (tail[-1][:100] if tail else '?')}",
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", TRIAL, str(b), str(nmax),
+             str(ballast_bytes)],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd=os.path.join(os.path.dirname(__file__), ".."))
+        ok = r.returncode == 0 and "OK" in r.stdout
+        tail = (r.stdout + r.stderr).strip().splitlines()
+        msg = "ok" if ok else "FAIL: " + (tail[-1][:100] if tail else "?")
+    except subprocess.TimeoutExpired:
+        ok, msg = False, "TIMEOUT (thrashing counts as not fitting)"
+    print(f"  b={b} n={nmax} ballast={ballast_bytes / GIB:.2f} GiB -> {msg}",
           flush=True)
     return ok
 
 
 def main():
+    # lean mode: zero-ballast fits at the giant shapes (the dispatch
+    # decision itself), plus coarse ballast brackets at two mid shapes to
+    # fit the per-instance working-set coefficient — full bisection costs
+    # ~10 min/trial at near-OOM ballasts (the runtime thrashes before it
+    # faults), so resolution is deliberately 1-2 GiB.
     results = []
-    for b, nmax in ((2, 32768), (2, 65536), (2, 131072), (2, 262144),
-                    (8, 65536)):
-        if not trial(b, nmax, 0):
-            results.append({"b": b, "nmax": nmax, "fits": False})
-            continue
-        lo, hi = 0, 14 * GIB
-        while hi - lo > GIB // 4:
-            mid = (lo + hi) // 2
-            if trial(b, nmax, mid):
-                lo = mid
+    for b, nmax in ((2, 131072), (2, 262144), (4, 262144)):
+        results.append({"b": b, "nmax": nmax, "fits": trial(b, nmax, 0)})
+        print(json.dumps(results[-1]), flush=True)
+    for b, nmax, points in ((2, 65536, (4, 6, 8, 10)),
+                            (2, 16384, (8, 10, 12))):
+        best = 0
+        for g in points:
+            if trial(b, nmax, g * GIB):
+                best = g
             else:
-                hi = mid
+                break
         results.append({"b": b, "nmax": nmax, "fits": True,
-                        "max_ballast_gib": round(lo / GIB, 2)})
+                        "max_ballast_gib_coarse": best})
+        print(json.dumps(results[-1]), flush=True)
     print(json.dumps(results))
 
 

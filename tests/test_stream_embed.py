@@ -91,3 +91,32 @@ def test_embed_dataset_streaming(tmp_path, rng):
         assert list(pos_df.columns) == ["col", "row"]
         assert len(pos_df) == n_feats
         assert not bag_path.endswith(".pos.csv")
+
+
+def test_embed_slides_streaming_pipelined(tmp_path, rng):
+    """Multi-slide pipelining: per-slide results arrive in input order and
+    match the single-slide path exactly; abandoning the generator early
+    stops the producer cleanly."""
+    from tpumil.infer.stream_embed import embed_slides_streaming
+
+    paths = [_make_slide(tmp_path, rng, f"s{i}", "tumor") for i in range(3)]
+    cfg = TilerConfig(tile_size=128, workers=2, base_mag=20, objective=20)
+    emb_cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    params = embedder.init_params(jax.random.PRNGKey(0), emb_cfg)
+    ex = FeatureExtractor(params, emb_cfg, batch_size=4, patch_size=128,
+                          num_workers=2)
+
+    singles = [embed_slide_streaming(p, ex, (0,), cfg, batch_size=4)
+               for p in paths]
+    outs = list(embed_slides_streaming(paths, ex, (0,), cfg, batch_size=4))
+    assert len(outs) == 3
+    for (f1, p1, s1), (f2, p2, _) in zip(outs, singles):
+        assert s1.tiles_kept == f1.shape[0] > 0
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_allclose(f1, f2, rtol=1e-5, atol=1e-6)
+
+    # early abandonment: take one slide, drop the generator; no hang
+    gen = embed_slides_streaming(paths, ex, (0,), cfg, batch_size=4)
+    first = next(gen)
+    assert first[0].shape[0] > 0
+    gen.close()
