@@ -1,29 +1,24 @@
-"""Worker for the multi-process distributed test (tests/test_multiprocess.py).
+"""Worker for the multi-process distributed tests (tests/test_multiprocess.py).
 
-Each of two processes owns 2 virtual CPU devices; together they form the
-4-device (data=2, inst=2) global mesh, with the data axis spanning the
-process (DCN-like) boundary — so the gradient psum in the sharded train
-step really crosses processes, which is exactly the multi-host claim the
-dryrun alone cannot test.
+Each of two processes owns 2 virtual CPU devices; together they form a
+4-device global mesh whose data axis spans the process (DCN-like) boundary
+— so the collectives really cross processes, which is exactly the
+multi-host claim the single-process dryrun cannot test. Three stages cover
+the three scale-out pipelines (SURVEY.md L4/L1/L2):
+
+  agg     — sharded DSMIL aggregator training ((data=2, inst=2) mesh,
+            gradient psum across processes)
+  simclr  — data-parallel SimCLR pretraining step (NT-Xent over the global
+            batch: the (2N)^2 similarity needs cross-process all-gather)
+  feats   — data-parallel feature extraction (embedder batch sharded over
+            the data axis)
 """
 
 import os
 import sys
 
 
-def main():
-    rank = int(sys.argv[1])
-    nproc = int(sys.argv[2])
-    coord = sys.argv[3]
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-    from tpumil.parallel.mesh import init_distributed
-
-    init_distributed(coordinator_address=coord, num_processes=nproc,
-                     process_id=rank)
+def _stage_agg(jax, rank, nproc):
     import jax.numpy as jnp
     import numpy as np
 
@@ -31,9 +26,6 @@ def main():
     from tpumil.models.dsmil import DSMILConfig
     from tpumil.parallel.mesh import bag_batch_sharding, make_mesh, replicated
     from tpumil.parallel.sharded_train import make_sharded_train_step
-
-    assert len(jax.devices()) == 2 * nproc, jax.devices()
-    assert len(jax.local_devices()) == 2
 
     cfg = DSMILConfig(feats_size=64, num_classes=2)
     mesh = make_mesh(2 * nproc)  # (data=nproc, inst=2): data crosses hosts
@@ -60,7 +52,93 @@ def main():
         params, opt_state, loss = step(params, opt_state, gf, gm, gl,
                                        jnp.asarray(1e-3))
         losses.append(float(loss))
-    print("LOSSES", rank, " ".join(f"{x:.8f}" for x in losses), flush=True)
+    return losses
+
+
+def _stage_simclr(jax, rank, nproc):
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpumil.models.simclr import SimCLRConfig
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    n_dev = 2 * nproc
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+    b = 8
+    tr = SimCLRTrainer(SimCLRConfig(compute_dtype=jnp.float32),
+                       SimCLRTrainConfig(batch_size=b, input_size=32,
+                                         lr=1e-3),
+                       mesh=mesh)
+    params, opt_state = tr.init(jax.random.PRNGKey(0))
+    rep = NamedSharding(mesh, P())
+    img_s = NamedSharding(mesh, P("data", None, None, None))
+    rng = np.random.default_rng(0)
+    images = rng.random((b, 32, 32, 3)).astype(np.float32)
+    local = slice(rank * b // nproc, (rank + 1) * b // nproc)
+    gi = jax.make_array_from_process_local_data(img_s, images[local])
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        sub = jax.random.fold_in(key, i)
+        params, opt_state, loss = tr._train_step(params, opt_state, sub, gi,
+                                                 jnp.asarray(1e-3))
+        losses.append(float(loss))
+    return losses
+
+
+def _stage_feats(jax, rank, nproc):
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpumil.models import resnet
+
+    n_dev = 2 * nproc
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("data",))
+    rep = NamedSharding(mesh, P())
+    img_s = NamedSharding(mesh, P("data", None, None, None))
+    cfg = resnet.ResNetConfig(depth=18, norm="instance")
+    params = jax.device_put(
+        resnet.init_params(jax.random.PRNGKey(1), cfg), rep)
+    rng = np.random.default_rng(0)
+    b = 8
+    images = rng.random((b, 32, 32, 3)).astype(np.float32)
+    local = slice(rank * b // nproc, (rank + 1) * b // nproc)
+    gi = jax.make_array_from_process_local_data(img_s, images[local])
+    embed = jax.jit(lambda p, x: resnet.forward(p, x, cfg),
+                    in_shardings=(rep, img_s),
+                    out_shardings=NamedSharding(mesh, P("data", None)))
+    feats = embed(params, gi)
+    # per-row sums are rank-independent fingerprints of the global result
+    row_sums = jax.jit(lambda f: jnp.sum(f, axis=1),
+                       out_shardings=rep)(feats)
+    return [float(x) for x in np.asarray(row_sums)]
+
+
+def main():
+    rank = int(sys.argv[1])
+    nproc = int(sys.argv[2])
+    coord = sys.argv[3]
+    stage = sys.argv[4] if len(sys.argv) > 4 else "agg"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from tpumil.parallel.mesh import init_distributed
+
+    init_distributed(coordinator_address=coord, num_processes=nproc,
+                     process_id=rank)
+    assert len(jax.devices()) == 2 * nproc, jax.devices()
+    assert len(jax.local_devices()) == 2
+
+    values = {"agg": _stage_agg, "simclr": _stage_simclr,
+              "feats": _stage_feats}[stage](jax, rank, nproc)
+    print("LOSSES", rank, " ".join(f"{x:.8f}" for x in values), flush=True)
     jax.distributed.shutdown()
 
 

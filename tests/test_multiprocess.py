@@ -53,7 +53,74 @@ def _single_process_oracle():
     return losses
 
 
-def test_two_process_distributed_training(tmp_path):
+def _simclr_oracle():
+    """Single-process 4-device dp SimCLR trajectory (same code path as
+    mp_worker._stage_simclr, all devices in-process)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpumil.models.simclr import SimCLRConfig
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    b = 8
+    tr = SimCLRTrainer(SimCLRConfig(compute_dtype=jnp.float32),
+                       SimCLRTrainConfig(batch_size=b, input_size=32,
+                                         lr=1e-3),
+                       mesh=mesh)
+    params, opt_state = tr.init(jax.random.PRNGKey(0))
+    rep = NamedSharding(mesh, P())
+    img_s = NamedSharding(mesh, P("data", None, None, None))
+    rng = np.random.default_rng(0)
+    gi = jax.device_put(
+        jnp.asarray(rng.random((b, 32, 32, 3)).astype(np.float32)), img_s)
+    params = jax.device_put(params, rep)
+    opt_state = jax.device_put(opt_state, rep)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        sub = jax.random.fold_in(key, i)
+        params, opt_state, loss = tr._train_step(params, opt_state, sub, gi,
+                                                 jnp.asarray(1e-3))
+        losses.append(float(loss))
+    return losses
+
+
+def _feats_oracle():
+    """Single-process 4-device dp embedder row sums."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tpumil.models import resnet
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    rep = NamedSharding(mesh, P())
+    img_s = NamedSharding(mesh, P("data", None, None, None))
+    cfg = resnet.ResNetConfig(depth=18, norm="instance")
+    params = jax.device_put(
+        resnet.init_params(jax.random.PRNGKey(1), cfg), rep)
+    rng = np.random.default_rng(0)
+    gi = jax.device_put(
+        jnp.asarray(rng.random((8, 32, 32, 3)).astype(np.float32)), img_s)
+    embed = jax.jit(lambda p, x: resnet.forward(p, x, cfg),
+                    in_shardings=(rep, img_s),
+                    out_shardings=NamedSharding(mesh, P("data", None)))
+    feats = embed(params, gi)
+    return [float(x) for x in np.asarray(jnp.sum(feats, axis=1))]
+
+
+_ORACLES = {"agg": _single_process_oracle, "simclr": _simclr_oracle,
+            "feats": _feats_oracle}
+
+
+@pytest.mark.parametrize("stage", ["agg", "simclr", "feats"])
+def test_two_process_distributed(stage):
+    """Two OS processes x 2 virtual devices -> one 4-device mesh; per stage,
+    the cross-process result must match both ranks and the single-process
+    oracle. Covers all three scale-out pipelines (L4 agg / L1 SimCLR /
+    L2 feature extraction — VERDICT r2 #9)."""
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
@@ -63,10 +130,10 @@ def test_two_process_distributed_training(tmp_path):
         + env.get("PYTHONPATH", "").split(os.pathsep))
     env.pop("JAX_PLATFORMS", None)
     env.pop("XLA_FLAGS", None)
-    procs = [subprocess.Popen([sys.executable, worker, str(r), "2", coord],
-                              stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                              text=True, env=env)
-             for r in range(2)]
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(r), "2", coord, stage],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for r in range(2)]
     outs = []
     for p in procs:
         try:
@@ -85,9 +152,9 @@ def test_two_process_distributed_training(tmp_path):
                 _, rank, *vals = line.split()
                 losses[int(rank)] = [float(v) for v in vals]
     assert set(losses) == {0, 1}, outs
-    # both processes observed the same replicated loss trajectory
+    # both processes observed the same replicated result
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
     # and it matches the single-process 4-device oracle
-    oracle = _single_process_oracle()
+    oracle = _ORACLES[stage]()
     np.testing.assert_allclose(losses[0], oracle, rtol=1e-5, atol=1e-6)
     assert all(np.isfinite(oracle))

@@ -127,3 +127,26 @@ def test_mil_cv_on_vendored_musk1_format_fixture():
                          verbose=False)  # train_mil.py defaults
     mean_acc, std_acc, fold_accs = run_mil_cv(bags, cfg, log=lambda s: None)
     assert mean_acc >= 0.9, (mean_acc, fold_accs)
+
+
+def test_init_deviation_bounded_on_vendored_fixture():
+    """VERDICT r2 #10: run_mil_cv defaults to orthogonal init where the
+    reference's train_mil.py trains with torch Linear/Conv1d defaults.
+    Bound the deviation: both init paths through the identical parse ->
+    pos_weight -> 10-fold CV pipeline on the vendored fixture must land in
+    the same accuracy band (the reference's own tolerance is +-2%,
+    README.md:76; the fixture is tiny so we grant +-5%)."""
+    import dataclasses as dc
+
+    from tpumil.data.mil_bench import parse_mil_file
+    from tpumil.train.schemes import MILBenchConfig, run_mil_cv
+
+    path = os.path.join(os.path.dirname(__file__), "data", "musk1_mini.svm")
+    bags = parse_mil_file(path, num_feats=166)
+    cfg = MILBenchConfig(num_feats=166, num_epochs=40, cv_fold=10, seed=0,
+                         verbose=False)
+    mean_orth, _, _ = run_mil_cv(bags, cfg, log=lambda s: None)
+    mean_torch, _, _ = run_mil_cv(bags, dc.replace(cfg, init="torch_default"),
+                                  log=lambda s: None)
+    assert mean_orth >= 0.9 and mean_torch >= 0.9, (mean_orth, mean_torch)
+    assert abs(mean_orth - mean_torch) <= 0.05, (mean_orth, mean_torch)

@@ -39,6 +39,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpumil.ops.init import orthogonal_torch
 from tpumil.ops.masked import masked_argmax, masked_max, masked_softmax
@@ -82,6 +83,38 @@ def init_params(key, cfg: DSMILConfig) -> Params:
         params["v"] = {"w": orthogonal_torch(keys[4], (k, k)), "b": jnp.zeros((k,))}
     else:
         params["v"] = {}
+    return params
+
+
+def torch_default_init_params(key, cfg: DSMILConfig) -> Params:
+    """torch nn.Linear/nn.Conv1d DEFAULT init — what the reference's
+    train_mil.py actually trains with (it never calls the orthogonal init
+    of train_tcga.py:229-233): ``kaiming_uniform_(a=sqrt(5))`` on weights,
+    which reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in)), and the same bound
+    on biases. Exists to BOUND the init deviation of :func:`init_params`
+    (orthogonal) on the classic-MIL benchmarks (VERDICT r2 #10)."""
+    def lin(k, shape):  # shape (out, in) or (c, c, kernel)
+        fan_in = int(np.prod(shape[1:]))
+        bound = 1.0 / float(np.sqrt(fan_in))
+        kw, kb = jax.random.split(k)
+        return {"w": jax.random.uniform(kw, shape, jnp.float32,
+                                        -bound, bound),
+                "b": jax.random.uniform(kb, shape[:1], jnp.float32,
+                                        -bound, bound)}
+
+    keys = jax.random.split(key, 5)
+    k = cfg.feats_size
+    c = cfg.num_classes
+    params: Params = {"i_fc": lin(keys[0], (c, k)),
+                      "fcc": lin(keys[1], (c, c, k))}
+    if cfg.nonlinear:
+        q0 = lin(keys[2], (ATTN_DIM, k))
+        q2 = lin(keys[3], (ATTN_DIM, ATTN_DIM))
+        params["q"] = {"w0": q0["w"], "b0": q0["b"],
+                       "w2": q2["w"], "b2": q2["b"]}
+    else:
+        params["q"] = lin(keys[2], (ATTN_DIM, k))
+    params["v"] = lin(keys[4], (k, k)) if cfg.passing_v else {}
     return params
 
 

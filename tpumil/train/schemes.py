@@ -42,6 +42,11 @@ class MILBenchConfig:
     verbose: bool = True
     model: str = "dsmil"              # train_mil.py:119
     use_device_store: bool = True
+    # "orthogonal" (train_tcga.py:229-233 — the framework's single init
+    # path) or "torch_default" (what train_mil.py actually trains with:
+    # torch Linear/Conv1d defaults). The deviation is bounded on the
+    # vendored musk1-format fixture in tests/test_mil_bench.py.
+    init: str = "orthogonal"
 
 
 def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
@@ -75,9 +80,17 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
         trainer.pos_weight = np.asarray([compute_pos_weight(train_bags)],
                                         np.float32)
         # the reference does NOT orthogonal-init in train_mil (default torch
-        # init), but init distribution does not change the measured behaviour
-        # class; we keep one init path for both harnesses.
-        params, opt_state = trainer.init(jax.random.PRNGKey(cfg.seed + 1000 * k))
+        # init); cfg.init="torch_default" reproduces that path so the
+        # deviation of the default single-init policy is measurable.
+        if cfg.init == "torch_default" and (model or cfg.model) == "dsmil":
+            from tpumil.models import dsmil as _dsmil
+
+            params = _dsmil.torch_default_init_params(
+                jax.random.PRNGKey(cfg.seed + 1000 * k), model_cfg)
+            opt_state = trainer.optimizer.init(params)
+        else:
+            params, opt_state = trainer.init(
+                jax.random.PRNGKey(cfg.seed + 1000 * k))
         best_acc = 0.0
         labels = np.asarray([float(b.label[0]) for b in test_bags])
         if global_store is not None:
