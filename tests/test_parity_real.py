@@ -150,3 +150,157 @@ def test_init_deviation_bounded_on_vendored_fixture():
                                   log=lambda s: None)
     assert mean_orth >= 0.9 and mean_torch >= 0.9, (mean_orth, mean_torch)
     assert abs(mean_orth - mean_torch) <= 0.05, (mean_orth, mean_torch)
+
+
+# ---------------------------------------------------------------------------
+# Demo-flow parity (VERDICT r2 #6): when the reference's demo downloads are
+# mounted (download.py --dataset=c16-test / tcga-test layout, optionally
+# rooted at $TPUMIL_DEMO), run the shipped embedder+aggregator through the
+# testing CLIs and pin verdicts + bag scores against a torch oracle built
+# from /root/reference's own dsmil modules on CPU.
+# ---------------------------------------------------------------------------
+
+DEMO = os.environ.get("TPUMIL_DEMO", ".")
+
+
+def _demo_skip(*paths):
+    out = []
+    for p in paths:
+        full = os.path.join(DEMO, p)
+        if not os.path.exists(full):
+            pytest.skip(f"demo download not mounted: {full}")
+        out.append(full)
+    return out
+
+
+def _reference_torch_bag_scores(bag_dirs, embedder_pth, aggregator_pth,
+                                num_classes):
+    """Bag sigmoid scores via the REFERENCE's own torch modules on CPU
+    (testing_c16.py:104-141 / testing_tcga.py:56-87 semantics: popitem x 4
+    positional embedder surgery, fc from the aggregator, full-bag
+    b_classifier)."""
+    import collections
+    import glob as _glob
+    import sys
+
+    torch = pytest.importorskip("torch")
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import dsmil as mil  # the reference's module
+    from torch_resnet_oracle import TorchResNet
+
+    resnet = TorchResNet(18, torch.nn.InstanceNorm2d)
+    for p in resnet.parameters():
+        p.requires_grad = False
+    i_clf = mil.IClassifier(resnet, 512, output_class=num_classes)
+    b_clf = mil.BClassifier(input_size=512, output_class=num_classes)
+    net = mil.MILNet(i_clf, b_clf)
+    agg = torch.load(aggregator_pth, map_location="cpu")
+    net.load_state_dict(agg, strict=False)
+    sd = torch.load(embedder_pth, map_location="cpu")
+    for _ in range(4):
+        sd.popitem()
+    new = collections.OrderedDict()
+    for (k, v), (k0, v0) in zip(sd.items(), i_clf.state_dict().items()):
+        new[k0] = v
+    new["fc.weight"] = agg["i_classifier.fc.0.weight"]
+    new["fc.bias"] = agg["i_classifier.fc.0.bias"]
+    i_clf.load_state_dict(new, strict=True)
+    net.i_classifier = i_clf
+    net.eval()
+
+    from PIL import Image
+
+    scores = {}
+    with torch.no_grad():
+        for bag in bag_dirs:
+            jpgs = _glob.glob(os.path.join(bag, "*.jpg"))
+            feats_list, cls_list = [], []
+            for lo in range(0, len(jpgs), 64):
+                imgs = np.stack([
+                    np.asarray(Image.open(p).convert("RGB"), np.float32)
+                    / 255.0 for p in jpgs[lo:lo + 64]])
+                x = torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)).copy())
+                f, c = net.i_classifier(x)
+                feats_list.append(f.numpy())
+                cls_list.append(c.numpy())
+            bag_pred, _, _ = net.b_classifier(
+                torch.from_numpy(np.vstack(feats_list)),
+                torch.from_numpy(np.vstack(cls_list)))
+            scores[bag] = torch.sigmoid(bag_pred).squeeze(0).numpy()
+    return scores
+
+
+@pytest.mark.parity_real
+def test_parity_real_c16_demo_flow(tmp_path, capsys):
+    """testing_c16 over the mounted demo download: verdicts at the exact
+    reference threshold 0.5282700061798096 (testing_c16.py:110) must match
+    the reference-module torch oracle, and the heatmap PNGs must render."""
+    patches, emb, agg = _demo_skip(
+        os.path.join("test-c16", "patches"),
+        os.path.join("test-c16", "weights", "embedder.pth"),
+        os.path.join("example_aggregator_weights", "c16_aggregator.pth"))
+    import glob as _glob
+
+    from tpumil.cli import testing_c16
+
+    out = str(tmp_path / "out")
+    rc = testing_c16.main(["--bag_path", patches, "--embedder_weights", emb,
+                           "--aggregator_weights", agg, "--output", out,
+                           "--device", "cpu"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if " is detected as " in ln]
+    bag_dirs = sorted(_glob.glob(os.path.join(patches, "*")))
+    assert len(lines) == len(bag_dirs) > 0
+    got = {ln.rsplit(" is detected as ", 1)[0]:
+           ln.rsplit(" is detected as ", 1)[1] for ln in lines}
+
+    oracle = _reference_torch_bag_scores(bag_dirs, emb, agg, num_classes=1)
+    thres = 0.5282700061798096
+    for bag in bag_dirs:
+        score = float(np.squeeze(oracle[bag]))
+        want = "malignant" if score >= thres else "benign"
+        assert got[bag] == want, (bag, got[bag], score)
+        png = os.path.join(out, os.path.basename(bag) + ".png")
+        assert os.path.exists(png) and os.path.getsize(png) > 0
+
+
+@pytest.mark.parity_real
+def test_parity_real_tcga_demo_flow(tmp_path, capsys):
+    """testing_tcga over the mounted demo download: the 4-way verdict at
+    the reference thresholds 0.45798/0.58273 (testing_tcga.py:117-118) must
+    match the reference-module torch oracle."""
+    patches, emb, agg = _demo_skip(
+        os.path.join("test", "patches"),
+        os.path.join("test", "weights", "embedder.pth"),
+        os.path.join("example_aggregator_weights", "tcga_aggregator.pth"))
+    import glob as _glob
+
+    from tpumil.cli import testing_tcga
+
+    out = str(tmp_path / "out")
+    rc = testing_tcga.main(["--bag_path", patches, "--embedder_weights", emb,
+                            "--aggregator_weights", agg, "--output", out,
+                            "--device", "cpu"])
+    assert rc == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if " is detected as: " in ln]
+    bag_dirs = sorted(_glob.glob(os.path.join(patches, "*")))
+    assert len(lines) == len(bag_dirs) > 0
+    got = {ln.split(" is detected as: ")[0]:
+           ln.split(" is detected as: ")[1] for ln in lines}
+
+    oracle = _reference_torch_bag_scores(bag_dirs, emb, agg, num_classes=2)
+    t_luad, t_lusc = 0.45798203349113464, 0.5827295184135437
+    for bag in bag_dirs:
+        s = oracle[bag]
+        if s[0] >= t_luad and s[1] < t_lusc:
+            want = "LUAD"
+        elif s[1] >= t_lusc and s[0] < t_luad:
+            want = "LUSC"
+        elif s[0] < t_luad and s[1] < t_lusc:
+            want = "benign"
+        else:
+            want = "both LUAD and LUSC"
+        assert got[bag] == want, (bag, got[bag], s.tolist())

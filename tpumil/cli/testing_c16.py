@@ -50,7 +50,10 @@ def main(argv=None):
     for bag_dir in bags_list:
         scores, attn, _, positions = infer.run_bag(bag_dir, "jpg", args.average)
         tumor = float(np.squeeze(scores)) >= args.thres_tumor
-        print(bag_dir + " is detected as: " + ("tumor" if tumor else "benign"))
+        # exact reference verdict strings (testing_c16.py:87,92 — note: no
+        # colon, "malignant"/"benign")
+        print(bag_dir + " is detected as "
+              + ("malignant" if tumor else "benign"))
         cmap = render_single_class_map(
             attn[:, 0] if tumor else np.zeros(attn.shape[0]),
             positions, red if tumor else np.zeros(3))
