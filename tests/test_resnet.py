@@ -139,3 +139,24 @@ def test_precision_tier_plumbing(rng):
         f2 = resnet.forward(params, x, cfg)
         np.testing.assert_allclose(np.asarray(f1), np.asarray(f2), atol=1e-6)
         assert cfg.conv_precision == lax_prec
+
+
+def test_operand_dtype_plumbing(rng):
+    """operand_dtype=bf16 with f32 accumulation must stay close to f32 on
+    CPU (the exact TPU equivalence with DEFAULT-precision MXU rounding is
+    pinned in test_tpu_numerics); None must be bit-identical to unset."""
+    import jax
+
+    base = ResNetConfig(depth=18, norm="instance")
+    mixed = ResNetConfig(depth=18, norm="instance",
+                         operand_dtype=jnp.bfloat16)
+    params = resnet.init_params(jax.random.PRNGKey(0), base)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    a = np.asarray(resnet.forward(params, x, base))
+    b = np.asarray(resnet.forward(params, x, mixed))
+    corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+    assert corr > 0.98
+    c = np.asarray(resnet.forward(
+        params, x, ResNetConfig(depth=18, norm="instance",
+                                operand_dtype=None)))
+    np.testing.assert_array_equal(a, c)

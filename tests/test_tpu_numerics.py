@@ -92,3 +92,23 @@ def test_extraction_precision_ladder(rng):
     hi = feats("highest")
     assert np.abs(feats("high") - hi).max() < 1e-3
     assert np.abs(feats("default") - hi).max() > 1e-3
+
+
+def test_operand_bf16_matches_f32_default(rng):
+    """The f32m bandwidth experiment's premise: explicitly casting conv
+    operands to bf16 (operand_dtype=bf16, f32 accumulation/activations) is
+    numerically the same transform DEFAULT precision applies inside the MXU
+    — features must agree with the plain f32-default tier to well under the
+    tier's own 1.4e-2 distance from true f32."""
+    from tpumil.models import resnet
+    from tpumil.models.resnet import ResNetConfig
+
+    base = ResNetConfig(depth=18, norm="instance", compute_dtype=jnp.float32)
+    mixed = ResNetConfig(depth=18, norm="instance",
+                         compute_dtype=jnp.float32,
+                         operand_dtype=jnp.bfloat16)
+    params = resnet.init_params(jax.random.PRNGKey(0), base)
+    x = jnp.asarray(rng.random((4, 224, 224, 3)).astype(np.float32))
+    a = np.asarray(jax.jit(lambda p, x: resnet.forward(p, x, base))(params, x))
+    b = np.asarray(jax.jit(lambda p, x: resnet.forward(p, x, mixed))(params, x))
+    assert np.max(np.abs(a - b)) < 2e-3, np.max(np.abs(a - b))

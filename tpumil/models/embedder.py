@@ -58,13 +58,16 @@ class EmbedderConfig:
     # "high" (bf16_3x) is near torch parity at ~1.7x the "highest" rate;
     # "highest" (bf16_6x) is true f32 — see ResNetConfig.precision.
     precision: str = "default"
+    # explicit conv-operand dtype (see ResNetConfig.operand_dtype)
+    operand_dtype: object = None
 
     @property
     def resnet_cfg(self) -> ResNetConfig:
         return ResNetConfig(depth=BACKBONE_DEPTH[self.backbone], norm=self.norm,
                             compute_dtype=self.compute_dtype,
                             space_to_depth=self.space_to_depth,
-                            precision=self.precision)
+                            precision=self.precision,
+                            operand_dtype=self.operand_dtype)
 
     @property
     def num_feats(self) -> int:

@@ -56,6 +56,14 @@ class ResNetConfig:
     #   "high"     maxabs 7e-5    11.2k patches/s (bf16_3x: 3 passes)
     #   "highest"  maxabs 3e-6     6.6k patches/s (bf16_6x: torch parity)
     precision: str = "default"  # "default" | "high" | "highest"
+    # Optional EXPLICIT conv-operand dtype (activations/accumulation stay in
+    # compute_dtype). With compute_dtype=f32 + operand_dtype=bf16 the math
+    # is what DEFAULT precision already does inside the MXU (operands
+    # rounded to bf16, f32 accumulation), but the cast is visible to XLA so
+    # producer fusions can emit a bf16 copy for the conv read while the f32
+    # residual/norm stream stays exact — a bandwidth experiment for the
+    # parity tier (docs/PERF.md "Precision tiers").
+    operand_dtype: Optional[object] = None
 
     @property
     def conv_precision(self):
@@ -172,14 +180,15 @@ def init_params(key, cfg: ResNetConfig) -> Dict[str, jnp.ndarray]:
 # Forward
 # ---------------------------------------------------------------------------
 
-def _conv(x, w, stride: int, dtype, precision=None):
+def _conv(x, w, stride: int, dtype, precision=None, operand_dtype=None):
     # Activations stay in the compute dtype between layers: with bf16 this
     # halves inter-layer HBM traffic (+45% throughput measured on v5e). The
     # MXU still accumulates in f32 internally; norm statistics are taken in
     # f32 (_norm below).
+    od = operand_dtype or dtype
     pad = (w.shape[0] - 1) // 2
     return jax.lax.conv_general_dilated(
-        x.astype(dtype), w.astype(dtype),
+        x.astype(od), w.astype(od),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -211,11 +220,12 @@ def _maxpool_3x3_s2(x):
         padding=((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
-def _stem_space_to_depth(x, w7, dtype, precision=None):
+def _stem_space_to_depth(x, w7, dtype, precision=None, operand_dtype=None):
     """conv1 7x7/s2/p3 expressed on a 2x2 space-to-depth input: channel
     packing (py, px, c); kernel padded to 8x8 and regrouped to 4x4x12;
     asymmetric padding (2, 1) reproduces the original receptive field
     exactly (verified to f32 noise)."""
+    od = operand_dtype or dtype
     b, h, w, _ = x.shape
     xs = x.reshape(b, h // 2, 2, w // 2, 2, 3).transpose(0, 1, 3, 2, 4, 5) \
         .reshape(b, h // 2, w // 2, 12)
@@ -223,7 +233,7 @@ def _stem_space_to_depth(x, w7, dtype, precision=None):
     ws = wp.reshape(4, 2, 4, 2, 3, -1).transpose(0, 2, 1, 3, 4, 5) \
         .reshape(4, 4, 12, -1)
     return jax.lax.conv_general_dilated(
-        xs.astype(dtype), ws.astype(dtype), (1, 1), ((2, 1), (2, 1)),
+        xs.astype(od), ws.astype(od), (1, 1), ((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=dtype, precision=precision)
 
@@ -233,10 +243,11 @@ def forward(params: Dict[str, jnp.ndarray], x, cfg: ResNetConfig):
     pooled features [N, num_feats] in float32."""
     dtype = cfg.compute_dtype
     prec = cfg.conv_precision
+    od = cfg.operand_dtype
     if cfg.space_to_depth and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        x = _stem_space_to_depth(x, params["conv1.weight"], dtype, prec)
+        x = _stem_space_to_depth(x, params["conv1.weight"], dtype, prec, od)
     else:
-        x = _conv(x, params["conv1.weight"], 2, dtype, prec)
+        x = _conv(x, params["conv1.weight"], 2, dtype, prec, od)
     x = _norm(params, x, "conv1.weight", cfg)
     x = jax.nn.relu(x)
     x = _maxpool_3x3_s2(x)
@@ -249,19 +260,19 @@ def forward(params: Dict[str, jnp.ndarray], x, cfg: ResNetConfig):
             out_ch = width * cfg.expansion
             identity = x
             if cfg.block == "basic":
-                h = _conv(x, params[f"{prefix}.conv1.weight"], stride, dtype, prec)
+                h = _conv(x, params[f"{prefix}.conv1.weight"], stride, dtype, prec, od)
                 h = jax.nn.relu(_norm(params, h, f"{prefix}.conv1.weight", cfg))
-                h = _conv(h, params[f"{prefix}.conv2.weight"], 1, dtype, prec)
+                h = _conv(h, params[f"{prefix}.conv2.weight"], 1, dtype, prec, od)
                 h = _norm(params, h, f"{prefix}.conv2.weight", cfg)
             else:
-                h = _conv(x, params[f"{prefix}.conv1.weight"], 1, dtype, prec)
+                h = _conv(x, params[f"{prefix}.conv1.weight"], 1, dtype, prec, od)
                 h = jax.nn.relu(_norm(params, h, f"{prefix}.conv1.weight", cfg))
-                h = _conv(h, params[f"{prefix}.conv2.weight"], stride, dtype, prec)
+                h = _conv(h, params[f"{prefix}.conv2.weight"], stride, dtype, prec, od)
                 h = jax.nn.relu(_norm(params, h, f"{prefix}.conv2.weight", cfg))
-                h = _conv(h, params[f"{prefix}.conv3.weight"], 1, dtype, prec)
+                h = _conv(h, params[f"{prefix}.conv3.weight"], 1, dtype, prec, od)
                 h = _norm(params, h, f"{prefix}.conv3.weight", cfg)
             if stride != 1 or in_ch != out_ch:
-                identity = _conv(x, params[f"{prefix}.downsample.0.weight"], stride, dtype, prec)
+                identity = _conv(x, params[f"{prefix}.downsample.0.weight"], stride, dtype, prec, od)
                 identity = _norm(params, identity, f"{prefix}.downsample.0.weight", cfg)
             x = jax.nn.relu(h + identity)
             in_ch = out_ch
