@@ -189,14 +189,53 @@ def test_fused_dispatch_device_store_epochs(rng):
 
 def test_fused_dispatch_ineligible_configs():
     """Patch dropout, abmil, passing_v, and bf16 compute stay on the XLA
-    path even with a fused_threshold set; the default (None) disables."""
+    path even with a fused_threshold set; None disables entirely."""
     cfg = DSMILConfig(feats_size=16, num_classes=1)
     t = 16384
     assert not BagTrainer(cfg, dropout_patch=0.5, fused_threshold=t)._use_fused(65536)
     assert not BagTrainer(cfg, model="abmil", fused_threshold=t)._use_fused(65536)
-    assert not BagTrainer(cfg)._use_fused(65536)
+    assert not BagTrainer(cfg, fused_threshold=None)._use_fused(65536)
     cfg_pv = DSMILConfig(feats_size=16, num_classes=1, passing_v=True)
     assert not BagTrainer(cfg_pv, fused_threshold=t)._use_fused(65536)
     cfg_bf = DSMILConfig(feats_size=16, num_classes=1,
                          compute_dtype=jnp.bfloat16)
     assert not BagTrainer(cfg_bf, fused_threshold=t)._use_fused(65536)
+
+
+def test_fused_dispatch_auto_memory_routing():
+    """VERDICT r2 #3: the default "auto" threshold routes per bucket on the
+    MEASURED memory model — XLA whenever its estimated peak (resident
+    bucket + working set) fits HBM_BUDGET_BYTES, fused beyond. Pins the
+    probe-calibrated boundary so a coefficient regression is visible."""
+    from tpumil.train.trainer import (HBM_BUDGET_BYTES,
+                                      xla_train_workingset_bytes)
+
+    cfg = DSMILConfig(feats_size=512, num_classes=1)
+    tr = BagTrainer(cfg)  # default fused_threshold="auto"
+    assert tr.fused_threshold == "auto"
+
+    def bucket_bytes(b, n):
+        return b * n * 512 * 4
+
+    # Camelyon16-40x scale: a 2-bag 262k bucket stays on the (faster) XLA
+    # path — the probe showed it fits (docs/PERF.md)
+    assert not tr._use_fused(262144, bucket_bytes(2, 262144))
+    # but 8 such bags resident, or a 2-bag 1M bucket, must go fused
+    assert tr._use_fused(262144, bucket_bytes(8, 262144))
+    assert tr._use_fused(1 << 20, bucket_bytes(2, 1 << 20))
+    # ordinary buckets never dispatch fused
+    assert not tr._use_fused(4096, bucket_bytes(64, 4096))
+    # the estimate itself is linear in nmax and feats_size
+    assert xla_train_workingset_bytes(2 * 4096) == \
+        2 * xla_train_workingset_bytes(4096)
+    assert xla_train_workingset_bytes(4096, 1024) == \
+        2 * xla_train_workingset_bytes(4096, 512)
+    # boundary consistency: auto switches exactly when the estimate
+    # crosses the budget
+    n = 262144
+    for b in (2, 4, 8):
+        est = bucket_bytes(b, n) + xla_train_workingset_bytes(n)
+        assert tr._use_fused(n, bucket_bytes(b, n)) == (est > HBM_BUDGET_BYTES)
+    # integer override still forces the fused path below the memory limit
+    tr2 = BagTrainer(cfg, fused_threshold=16384)
+    assert tr2._use_fused(16384, bucket_bytes(2, 16384))

@@ -64,6 +64,29 @@ def _gated_optimizer_step(optimizer, p, s, loss, grads, lr, real):
 
 
 
+# -- giant-bag memory model (measured by benchmarks/xla_workingset_probe.py
+# on the v5e: ballast bisection in fresh subprocesses; docs/PERF.md "Giant
+# -bag memory dispatch") ------------------------------------------------------
+
+# Conservative usable-HBM budget on a 16 GiB chip: a training step ran
+# alongside >=13 GiB of ballast, so the runtime's usable pool is at least
+# ~13 GiB + the step's own working set; budgeting 13 GiB keeps a wide
+# safety margin for the params/opt-state and allocator fragmentation.
+HBM_BUDGET_BYTES = 13 * 2 ** 30
+# Upper bound on the XLA per-bag train step's transient working set per
+# bucket instance (autodiff residuals + staged true-f32 operand copies),
+# measured at K=512 and scaled linearly in K. The probe bounds the true
+# slope from above; over-estimating only moves the fused switch earlier
+# (a ~30-40% speed cost on the rare giant bucket), never towards an OOM.
+XLA_STEP_BYTES_PER_INSTANCE = 40 * 1024  # at feats_size 512
+
+
+def xla_train_workingset_bytes(nmax: int, feats_size: int = 512) -> int:
+    """Estimated peak transient bytes of ONE per-bag XLA train step over a
+    bucket padded to ``nmax`` instances."""
+    return int(XLA_STEP_BYTES_PER_INSTANCE * (feats_size / 512.0) * nmax)
+
+
 @dataclasses.dataclass
 class BagTrainer:
     """Per-bag DSMIL trainer with reference-equivalent optimization.
@@ -85,18 +108,21 @@ class BagTrainer:
     min_bucket: int = 16
     eval_batch: int = 64
     model: str = "dsmil"  # reference --model dsmil|abmil (train_tcga.py:224-227)
-    # Buckets padded to >= this many instances run through the fused Pallas
-    # attention-pooling kernels (forward + streaming custom-VJP backward,
-    # O(tile) activation memory) instead of the XLA chain. Default None
-    # (disabled): with every dot pinned to true f32 for torch parity, the
-    # XLA path's multi-pass matmuls beat the fused kernels on speed at
-    # every measured N (docs/PERF.md "Fused-kernel dispatch") — the fused
-    # path remains the opt-in escape hatch when activation memory, not
-    # speed, is the constraint (its footprint is O(tile), the XLA path's
-    # is O(N) in Q/A + autodiff residuals). Only the reference
-    # configuration is eligible (dsmil, nonlinear q, passing_v=False,
-    # no patch dropout).
-    fused_threshold: Optional[int] = None
+    # Fused-Pallas dispatch for giant buckets. With every dot pinned to
+    # true f32 for torch parity, the XLA path's multi-pass matmuls beat the
+    # fused kernels on SPEED at every measured N (docs/PERF.md
+    # "Fused-kernel dispatch") — the fused path is the MEMORY escape hatch:
+    # its footprint is O(tile) versus the XLA step's O(N) residuals.
+    #   "auto" (default): per bucket, estimate the XLA step's peak
+    #     (resident bucket + xla_train_workingset_bytes) against
+    #     HBM_BUDGET_BYTES and route to the fused kernels only when the XLA
+    #     path would not fit — a default-config user trains a 262k-instance
+    #     Camelyon16-40x bucket without knowing the flag exists.
+    #   int N: buckets padded to >= N instances always go fused (override).
+    #   None: always XLA.
+    # Only the reference configuration is eligible (dsmil, nonlinear q,
+    # passing_v=False, no patch dropout, f32 compute).
+    fused_threshold: object = "auto"
     # 512 rows/tile: the streaming backward's scoped-VMEM stack at true-f32
     # (HIGHEST) dot precision overflows the 16 MB budget at tile 1024
     # (17.7 MB measured) — the multi-pass f32 matmuls stage decomposed
@@ -218,13 +244,21 @@ class BagTrainer:
 
     # -- fused Pallas path for giant bags ------------------------------------
 
-    def _use_fused(self, nmax: int) -> bool:
-        """Buckets at/above ``fused_threshold`` instances route through the
-        fused Pallas kernels (O(tile) activation memory instead of the XLA
-        chain's O(N)). The threshold is opt-in (default None = always XLA,
-        which is faster at true-f32 parity at every measured N)."""
-        return (self._fused_eligible and nmax >= self.fused_threshold
-                and nmax % min(self.fused_tile, nmax) == 0)
+    def _use_fused(self, nmax: int, bucket_bytes: int = 0) -> bool:
+        """Dispatch decision per bucket: fused Pallas kernels (O(tile)
+        activation memory) vs the XLA chain (faster at true-f32 parity, but
+        O(N) residuals). With the default ``fused_threshold="auto"`` the
+        XLA path is used whenever its estimated peak fits the HBM budget —
+        see the field docstring."""
+        if not self._fused_eligible:
+            return False
+        if nmax % min(self.fused_tile, nmax) != 0:
+            return False
+        if self.fused_threshold == "auto":
+            est = bucket_bytes + xla_train_workingset_bytes(
+                nmax, self.cfg.feats_size)
+            return est > HBM_BUDGET_BYTES
+        return nmax >= self.fused_threshold
 
     def _fused_fns(self, nmax: int):
         """Build (train_bucket, train_bucket_epochs, eval_bucket) over the
@@ -330,7 +364,7 @@ class BagTrainer:
         picks. Callers always draw ``keys`` so the host PRNG stream does not
         depend on the dispatch decision (the fused path needs none: it is
         only eligible with every dropout off)."""
-        if self._use_fused(nmax):
+        if self._use_fused(nmax, feats.nbytes):
             fused_bucket, _, _ = self._fused_fns(nmax)
             self.fused_dispatches += 1
             return fused_bucket(params, opt_state, feats, mask, labels, perm,
@@ -340,7 +374,7 @@ class BagTrainer:
 
     def _eval_chunk_any(self, params, feats, mask, labels, keys, nmax):
         """Batched eval through whichever path _use_fused picks."""
-        if self._use_fused(nmax):
+        if self._use_fused(nmax, feats.nbytes):
             _, _, fused_eval = self._fused_fns(nmax)
             self.fused_dispatches += 1
             return fused_eval(params, feats, mask, labels, self._pw())
@@ -439,7 +473,7 @@ class BagTrainer:
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
             ).reshape(e, b, 2)
-            if self._use_fused(nmax):
+            if self._use_fused(nmax, feats.nbytes):
                 _, fused_epochs, _ = self._fused_fns(nmax)
                 self.fused_dispatches += 1
                 params, opt_state, losses = fused_epochs(
