@@ -463,3 +463,86 @@ def test_simclr_resume_matches_uninterrupted(tmp_path, rng):
     logs2 = []
     other.fit(paths, run_b, log=logs2.append, resume=True)
     assert any("different" in l for l in logs2)
+
+
+def test_grad_cache_step_matches_monolithic(rng):
+    """The gradient-cache two-pass step (scan encoder for z -> d(loss)/dz on
+    the small projection matrix -> per-microbatch vjp accumulation) must be
+    the monolithic step exactly: same augmented views (per-image keys), same
+    loss, same updated params. InstanceNorm has no cross-sample coupling, so
+    the decomposition is mathematically exact — this is what runs the
+    reference's batch 4096 (simclr/config.yaml:1) in O(microbatch) memory."""
+    import dataclasses as dc
+
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    model_cfg = SimCLRConfig(compute_dtype=jnp.float32)
+    base = SimCLRTrainConfig(batch_size=8, input_size=64, lr=1e-3)
+    images = jnp.asarray(rng.random((8, 64, 64, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(11)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    # a plain-SGD optimizer makes the updated params LINEAR in the
+    # gradients, so this compares the two paths' gradients directly.
+    # (Through Adam, a ulp-level scan-reorder of a gradient element
+    # sitting at ~0 flips sign(g) and moves that weight by 2*lr — an
+    # eps-conditioning artifact of g/(|g|+eps), not a gradient error.)
+    class _SGD:
+        def init(self, params):
+            return ()
+
+        def step(self, params, opt_state, grads, lr):
+            return jax.tree.map(lambda p, g: p - lr * g, params,
+                                grads), opt_state
+
+    outs = {}
+    for mb in (None, 2, 8):
+        tr = SimCLRTrainer(model_cfg,
+                           dc.replace(base, grad_cache_microbatch=mb))
+        tr.optimizer = _SGD()
+        params = tr.init(jax.random.PRNGKey(0))[0]
+        p, _, loss = tr._train_step(params, (), key, images, lr)
+        outs[mb] = (jax.tree.map(np.asarray, p), float(loss))
+
+    for mb in (2, 8):
+        np.testing.assert_allclose(outs[mb][1], outs[None][1], rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5,
+                                                    atol=1e-8),
+            outs[mb][0], outs[None][0])
+
+
+def test_grad_cache_validates_divisibility():
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    with pytest.raises(ValueError, match="must divide"):
+        SimCLRTrainer(SimCLRConfig(),
+                      SimCLRTrainConfig(batch_size=8,
+                                        grad_cache_microbatch=3))
+
+
+def test_remat_step_matches_no_remat(rng):
+    """VERDICT r2 #2a: remat=True (jax.checkpoint around the backbone) must
+    change memory, not math — identical loss and updated params vs
+    remat=False on the same batch."""
+    import dataclasses as dc
+
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    model_cfg = SimCLRConfig(compute_dtype=jnp.float32)
+    base = SimCLRTrainConfig(batch_size=8, input_size=64, lr=1e-3)
+    images = jnp.asarray(rng.random((8, 64, 64, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+    lr = jnp.asarray(1e-3, jnp.float32)
+
+    outs = {}
+    for remat in (False, True):
+        tr = SimCLRTrainer(model_cfg, dc.replace(base, remat=remat))
+        params, opt_state = tr.init(jax.random.PRNGKey(0))
+        p, _, loss = tr._train_step(params, opt_state, key, images, lr)
+        outs[remat] = (jax.tree.map(np.asarray, p), float(loss))
+
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        outs[True][0], outs[False][0])

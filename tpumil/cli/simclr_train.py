@@ -42,6 +42,12 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="Shard the batch over N devices (0 = single)")
+    parser.add_argument("--grad_cache", type=int, default=0,
+                        help="Gradient-cache microbatch size: exact NT-Xent "
+                             "gradients at O(microbatch) activation memory "
+                             "(enables the reference's batch_size 4096 on "
+                             "one 16 GB chip, e.g. --grad_cache 256; 0 = "
+                             "monolithic step)")
     parser.add_argument("--resume", action="store_true",
                         help="Continue an interrupted pretraining from the "
                              "orbax train state under <run_dir>/state")
@@ -83,6 +89,7 @@ def main(argv=None):
         input_size=args.input_size,
         num_workers=args.num_workers,
         seed=args.seed,
+        grad_cache_microbatch=args.grad_cache or None,
     )
 
     paths = generate_manifest(args.wsi_root, args.dataset, args.level, args.multiscale)

@@ -182,8 +182,21 @@ def augment_pair_batch(key, images, out_size: int = 224, compute_dtype=None,
     dataset_wrapper.py:48)."""
     b = images.shape[0]
     k1, k2 = jax.random.split(key)
+    return augment_pair_batch_keyed(jax.random.split(k1, b),
+                                    jax.random.split(k2, b), images,
+                                    out_size, compute_dtype, strength)
+
+
+def augment_pair_batch_keyed(keys1, keys2, images, out_size: int = 224,
+                             compute_dtype=None, strength: float = 1.0):
+    """`augment_pair_batch` with the per-image keys supplied by the caller.
+
+    Slicing (keys, images) together and calling this per slice yields
+    bitwise-identical views to one full-batch call — the property the
+    SimCLR gradient-cache step relies on to microbatch the encoder while
+    keeping the monolithic step's exact augmentations."""
     one = lambda k, im: augment_one(k, im, out_size, strength=strength,
                                     compute_dtype=compute_dtype)
-    v1 = jax.vmap(one)(jax.random.split(k1, b), images)
-    v2 = jax.vmap(one)(jax.random.split(k2, b), images)
+    v1 = jax.vmap(one)(keys1, images)
+    v2 = jax.vmap(one)(keys2, images)
     return v1, v2

@@ -31,7 +31,6 @@ import numpy as np
 from tpumil.data.patches import PatchBatchLoader
 from tpumil.models import simclr
 from tpumil.models.simclr import SimCLRConfig
-from tpumil.ops.augment import augment_pair_batch
 from tpumil.ops.nt_xent import nt_xent_loss
 from tpumil.train.optim import adam_torch
 
@@ -53,9 +52,18 @@ class SimCLRTrainConfig:
     log_every_n_steps: int = 25
     num_workers: int = 8
     # rematerialize the backbone in the backward pass (jax.checkpoint):
-    # trades ~30% more FLOPs for O(batch) activation memory — enables the
-    # reference's batch_size 4096 (config.yaml:1) on one chip.
+    # trades ~30% more FLOPs for less activation memory (measured max
+    # batch on the 16 GB chip: 1024 at 224^2 bf16 vs 512 without).
     remat: bool = False
+    # gradient-cache two-pass step (exact NT-Xent gradients at O(microbatch)
+    # activation memory): scan the encoder over microbatches collecting only
+    # the projections z, differentiate the loss on the small [2B, out_dim]
+    # matrix, then re-forward each microbatch under vjp with its dL/dz
+    # cotangent and accumulate parameter grads. InstanceNorm has no
+    # cross-sample coupling, so the microbatched gradients are bitwise the
+    # monolithic step's (tests/test_simclr.py pins it) — this is what runs
+    # the reference's batch_size 4096 (simclr/config.yaml:1) on one chip.
+    grad_cache_microbatch: Optional[int] = None
 
 
 class SimCLRTrainer:
@@ -78,32 +86,104 @@ class SimCLRTrainer:
         if cfg.remat:
             fwd = jax.checkpoint(simclr.forward, static_argnums=(2,))
 
-        def loss_fn(params, v1, v2):
-            from tpumil.ops.nt_xent import l2_normalize
-
-            _, z1 = fwd(params, v1, model_cfg)
-            _, z2 = fwd(params, v2, model_cfg)
-            # F.normalize parity (simclr.py:53-54) with a 0-safe gradient
-            z1 = l2_normalize(z1)
-            z2 = l2_normalize(z2)
-            return nt_xent_loss(z1, z2, cfg.temperature, cfg.use_cosine_similarity)
+        from tpumil.ops.augment import augment_pair_batch_keyed
+        from tpumil.ops.nt_xent import l2_normalize
 
         # augment in the backbone's compute dtype: the pipeline is pure
         # bandwidth, so bf16 views halve its HBM traffic and the backbone
         # consumes bf16 anyway (f32 when the model runs f32 — parity mode)
         aug_dtype = model_cfg.compute_dtype
 
+        def encode(params, keys1, keys2, images):
+            """Per-image-keyed augment -> backbone+projection -> normalize.
+
+            Keyed per image so a microbatch slice of (keys, images) yields
+            bitwise the views of the full-batch call (F.normalize parity
+            with a 0-safe gradient, simclr.py:53-54)."""
+            v1, v2 = augment_pair_batch_keyed(keys1, keys2, images,
+                                              cfg.input_size, aug_dtype,
+                                              cfg.s)
+            _, z1 = fwd(params, v1, model_cfg)
+            _, z2 = fwd(params, v2, model_cfg)
+            return l2_normalize(z1), l2_normalize(z2)
+
+        def loss_from_z(z1, z2):
+            return nt_xent_loss(z1, z2, cfg.temperature,
+                                cfg.use_cosine_similarity)
+
+        def image_keys(key, b):
+            # same derivation as augment_pair_batch(key, ...): the
+            # monolithic and grad-cache steps see identical views
+            k1, k2 = jax.random.split(key)
+            return jax.random.split(k1, b), jax.random.split(k2, b)
+
+        mb = cfg.grad_cache_microbatch
+        if mb is not None:
+            if cfg.batch_size % mb:
+                raise ValueError(
+                    f"grad_cache_microbatch {mb} must divide batch_size "
+                    f"{cfg.batch_size}")
+            if mb % self._mesh_n:
+                raise ValueError(
+                    f"grad_cache_microbatch {mb} must be divisible by the "
+                    f"mesh size {self._mesh_n}")
+
+        def _scan_z(params, keys1, keys2, images, m):
+            """Pass 1: encoder over m microbatches, projections only."""
+            r = lambda a: a.reshape((m, a.shape[0] // m) + a.shape[1:])
+            ks1, ks2, xs = r(keys1), r(keys2), r(images)
+
+            def enc(_, inp):
+                return None, encode(params, *inp)
+
+            _, (z1, z2) = jax.lax.scan(enc, None, (ks1, ks2, xs))
+            return (z1.reshape(images.shape[0], -1),
+                    z2.reshape(images.shape[0], -1), (ks1, ks2, xs))
+
         def train_step(params, opt_state, key, images, lr):
-            v1, v2 = augment_pair_batch(key, images, cfg.input_size,
-                                        aug_dtype, cfg.s)
-            loss, grads = jax.value_and_grad(loss_fn)(params, v1, v2)
-            params, opt_state = self.optimizer.step(params, opt_state, grads, lr)
+            keys1, keys2 = image_keys(key, images.shape[0])
+
+            def loss_fn(p):
+                return loss_from_z(*encode(p, keys1, keys2, images))
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            params, opt_state = self.optimizer.step(params, opt_state,
+                                                    grads, lr)
+            return params, opt_state, loss
+
+        def gc_train_step(params, opt_state, key, images, lr):
+            m = images.shape[0] // mb
+            keys1, keys2 = image_keys(key, images.shape[0])
+            z1, z2, (ks1, ks2, xs) = _scan_z(params, keys1, keys2, images, m)
+            loss, (dz1, dz2) = jax.value_and_grad(
+                loss_from_z, argnums=(0, 1))(z1, z2)
+            r = lambda a: a.reshape((m, mb) + a.shape[1:])
+
+            def bwd(acc, inp):
+                ks1_i, ks2_i, x_i, d1, d2 = inp
+                _, vjp = jax.vjp(
+                    lambda p: encode(p, ks1_i, ks2_i, x_i), params)
+                (g_i,) = vjp((d1, d2))
+                return jax.tree.map(jnp.add, acc, g_i), None
+
+            grads, _ = jax.lax.scan(
+                bwd, jax.tree.map(jnp.zeros_like, params),
+                (ks1, ks2, xs, r(dz1), r(dz2)))
+            params, opt_state = self.optimizer.step(params, opt_state,
+                                                    grads, lr)
             return params, opt_state, loss
 
         def eval_step(params, key, images):
-            v1, v2 = augment_pair_batch(key, images, cfg.input_size,
-                                        aug_dtype, cfg.s)
-            return loss_fn(params, v1, v2)
+            keys1, keys2 = image_keys(key, images.shape[0])
+            if mb is not None and images.shape[0] % mb == 0:
+                z1, z2, _ = _scan_z(params, keys1, keys2, images,
+                                    images.shape[0] // mb)
+            else:
+                z1, z2 = encode(params, keys1, keys2, images)
+            return loss_from_z(z1, z2)
+
+        if mb is not None:
+            train_step = gc_train_step
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
