@@ -56,12 +56,17 @@ print("OK", json.dumps({"step_ms": round(dt * 1e3, 1),
 def trial(batch: int, remat: bool, dtype: str, mb: int = 0):
     env = dict(os.environ)
     env["PYTHONPATH"] = "/root/repo:" + env.get("PYTHONPATH", "")
-    r = subprocess.run(
-        [sys.executable, "-c", TRIAL, str(batch), "1" if remat else "0",
-         dtype, str(mb)],
-        capture_output=True, text=True, timeout=1800, env=env,
-        cwd=os.path.join(os.path.dirname(__file__), ".."))
     out = {"batch": batch, "remat": remat, "dtype": dtype, "grad_cache": mb}
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", TRIAL, str(batch), "1" if remat else "0",
+             dtype, str(mb)],
+            capture_output=True, text=True, timeout=1800, env=env,
+            cwd=os.path.join(os.path.dirname(__file__), ".."))
+    except subprocess.TimeoutExpired:
+        out["fits"] = False
+        out["error"] = "timeout (1800s; compile or thrashing)"
+        return out
     for line in r.stdout.splitlines():
         if line.startswith("OK "):
             out.update(json.loads(line[3:]))

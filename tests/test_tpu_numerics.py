@@ -112,3 +112,32 @@ def test_operand_bf16_matches_f32_default(rng):
     a = np.asarray(jax.jit(lambda p, x: resnet.forward(p, x, base))(params, x))
     b = np.asarray(jax.jit(lambda p, x: resnet.forward(p, x, mixed))(params, x))
     assert np.max(np.abs(a - b)) < 2e-3, np.max(np.abs(a - b))
+
+
+def test_high_precision_on_bf16_operands_degrades(rng):
+    """The f32h_m trap (docs/PERF.md "why 19-20k IS the f32-parity floor"):
+    Precision.HIGH's bf16_3x decomposition has nothing to split once conv
+    operands are pre-cast to bf16, so HIGH + operand_dtype=bf16 silently
+    degrades to single-pass DEFAULT math. Pin that it lands with DEFAULT
+    (tight) and far from true HIGH — anyone "optimizing" the parity tier
+    this way must see this test."""
+    from tpumil.models import resnet
+    from tpumil.models.resnet import ResNetConfig
+
+    kw = dict(depth=18, norm="instance", compute_dtype=jnp.float32)
+    cfg_default = ResNetConfig(**kw)
+    cfg_high = ResNetConfig(precision="high", **kw)
+    cfg_trap = ResNetConfig(precision="high", operand_dtype=jnp.bfloat16,
+                            **kw)
+    params = resnet.init_params(jax.random.PRNGKey(0), cfg_default)
+    x = jnp.asarray(rng.random((4, 224, 224, 3)).astype(np.float32))
+
+    def feats(cfg):
+        return np.asarray(
+            jax.jit(lambda p, x: resnet.forward(p, x, cfg))(params, x))
+
+    trap, high, default = feats(cfg_trap), feats(cfg_high), feats(cfg_default)
+    d_default = np.max(np.abs(trap - default))
+    d_high = np.max(np.abs(trap - high))
+    assert d_default < 2e-3, d_default   # ≡ DEFAULT-tier math
+    assert d_high > 1e-3, d_high         # NOT parity-grade
