@@ -546,3 +546,41 @@ def test_remat_step_matches_no_remat(rng):
     jax.tree.map(
         lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
         outs[True][0], outs[False][0])
+
+
+def test_simclr_cli_grad_cache_end_to_end(tmp_path, rng, monkeypatch):
+    """The user-facing path for the reference's batch-4096 recipe: drive
+    ``cli.simclr_train --grad_cache`` on tiny patches in the reference's
+    folder layout and check the checkpoint feeds the embedder surgery
+    (simclr/run.py manifest -> trainer -> .pth)."""
+    from PIL import Image
+
+    patch_root = tmp_path / "WSI" / "toy" / "single" / "cls" / "slide0"
+    patch_root.mkdir(parents=True)
+    for i in range(16):
+        arr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(str(patch_root / f"0_{i}.jpeg"))
+
+    monkeypatch.chdir(tmp_path)  # the CLI writes all_patches.csv to cwd
+    from tpumil.cli import simclr_train
+
+    rc = simclr_train.main([
+        "--dataset", "toy", "--wsi_root", str(tmp_path / "WSI"),
+        "--multiscale", "0", "--batch_size", "8", "--grad_cache", "4",
+        "--epochs", "1", "--input_size", "32", "--num_workers", "2",
+        "--run_dir", str(tmp_path / "run"), "--device", "cpu",
+        "--config", ""])
+    assert rc == 0
+    assert (tmp_path / "all_patches.csv").exists()
+    ckpt = tmp_path / "run" / "checkpoints" / "model.pth"
+    assert ckpt.exists()
+
+    from tpumil.models import embedder
+    from tpumil.models.embedder import EmbedderConfig
+
+    emb_cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    emb_params = embedder.load_simclr_checkpoint(str(ckpt), emb_cfg)
+    feats, _ = embedder.forward(
+        emb_params, jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32)),
+        emb_cfg)
+    assert feats.shape == (2, 512)
