@@ -189,3 +189,62 @@ def test_instance_sharded_train_step_parity(rng, inst_parallel):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-6,
                                    err_msg=f"param {k} diverged")
+
+
+def test_train_bags_sharded_epoch_parity(rng):
+    """Epoch loop around the instance-sharded step: per-bag Adam steps over
+    a dataset of variable-size bags, each sharded over the inst axis, must
+    reproduce a single-device per-bag loop on the UNPADDED bags in the same
+    shuffle order (pinning both the collectives and the pad+mask
+    discipline)."""
+    from tpumil.ops.losses import dual_stream_loss
+    from tpumil.parallel.bag_shard import (make_instance_sharded_train_step,
+                                           train_bags_sharded)
+    from tpumil.data.bags import Bag
+
+    cfg = DSMILConfig(feats_size=32, num_classes=2)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("inst",))
+    step, optimizer = make_instance_sharded_train_step(mesh)
+
+    sizes = [10, 33, 64, 100, 17, 50]
+    bags = [Bag(rng.standard_normal((n, cfg.feats_size)).astype(np.float32),
+                np.asarray([float(i % 2), float((i + 1) % 2)], np.float32),
+                f"b{i}")
+            for i, n in enumerate(sizes)]
+    params0 = dsmil.init_params(jax.random.PRNGKey(5), cfg)
+    lr = jnp.asarray(2e-3, jnp.float32)
+    pw = jnp.ones((cfg.num_classes,), jnp.float32)
+
+    # single-device oracle: same permutation, unpadded bags
+    def bag_loss(p, f, m, y):
+        c, bag_logits, _, _ = dsmil.forward(p, f, m)
+        return dual_stream_loss(bag_logits, dsmil.max_instance_logits(c, m),
+                                y, pw)
+
+    order = np.random.default_rng(9).permutation(len(bags))
+    p_ref = jax.tree.map(jnp.copy, params0)
+    s_ref = optimizer.init(p_ref)
+    ref_losses = []
+    for i in order:
+        f = jnp.asarray(bags[i].feats)
+        m = jnp.ones((f.shape[0],), bool)
+        loss, grads = jax.value_and_grad(bag_loss)(
+            p_ref, f, m, jnp.asarray(bags[i].label))
+        p_ref, s_ref = optimizer.step(p_ref, s_ref, grads, lr)
+        ref_losses.append(float(loss))
+
+    p = jax.tree.map(jnp.copy, params0)
+    s = optimizer.init(p)
+    p, s, losses = train_bags_sharded(step, mesh, p, s, bags, 2e-3,
+                                      np.random.default_rng(9))
+    np.testing.assert_allclose(losses, ref_losses, rtol=1e-5)
+    # atol 1e-5: psum reorders float additions, and Adam(0.5, 0.9)'s
+    # g/(sqrt(v)+eps) amplifies ulp-level grad noise on near-zero elements
+    # over the 6 steps (measured drift: maxabs 6e-6 on one q.w2 element)
+    for k, want in jax.tree.leaves_with_path(p_ref):
+        got = {tuple(str(x) for x in kk): v
+               for kk, v in jax.tree.leaves_with_path(p)}[
+                   tuple(str(x) for x in k)]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"param {k} diverged")

@@ -163,3 +163,45 @@ def make_instance_sharded_train_step(mesh: Mesh, optimizer=None,
         return params, opt_state, loss
 
     return step, optimizer
+
+
+def train_bags_sharded(step, mesh: Mesh, params, opt_state, bags, lr, rng,
+                       axis: str = "inst", min_bucket: int = 16,
+                       pos_weight=None):
+    """One epoch of reference-faithful per-bag Adam steps over bags whose
+    instance axis shards over ``mesh[axis]`` — the epoch loop around
+    :func:`make_instance_sharded_train_step` for datasets of bags larger
+    than one chip's HBM.
+
+    Reference semantics preserved (train_tcga.py:55-76): every bag gets its
+    own optimizer step, in a freshly shuffled order. Each bag pads to the
+    BagTrainer shape family (power-of-two ``>= min_bucket``, always
+    divisible by the axis size) so the mesh recompiles once per bucket
+    length, not per bag; parameters and Adam state stay replicated while
+    only the padded bag itself is ever sharded.
+
+    Args: ``step`` from :func:`make_instance_sharded_train_step` (its mesh
+    must be ``mesh``), ``bags`` a sequence of :class:`tpumil.data.bags.Bag`,
+    ``rng`` a ``numpy.random.Generator`` for the epoch shuffle.
+    Returns ``(params, opt_state, losses [n_bags])`` in step order.
+    """
+    import numpy as np
+
+    from tpumil.data.bags import bucket_length, pad_bags
+
+    n_shards = mesh.shape[axis]
+    min_bucket = max(min_bucket, n_shards)
+    c = np.atleast_1d(bags[0].label).shape[0]
+    pw = (jnp.ones((c,), jnp.float32) if pos_weight is None
+          else jnp.asarray(pos_weight, jnp.float32))
+    lr = jnp.asarray(lr, jnp.float32)
+    losses = []
+    for i in rng.permutation(len(bags)):
+        bag = bags[i]
+        nmax = bucket_length(bag.num_instances, min_bucket)
+        feats, mask, labels = pad_bags([bag], nmax)
+        f, m = shard_bag(mesh, feats[0], mask[0], axis)
+        params, opt_state, loss = step(params, opt_state, f, m,
+                                       jnp.asarray(labels[0]), lr, pw)
+        losses.append(loss)
+    return params, opt_state, np.asarray([float(l) for l in losses])
