@@ -584,3 +584,25 @@ def test_simclr_cli_grad_cache_end_to_end(tmp_path, rng, monkeypatch):
         emb_params, jnp.asarray(rng.random((2, 32, 32, 3)).astype(np.float32)),
         emb_cfg)
     assert feats.shape == (2, 512)
+
+
+def test_valid_batch_size_units():
+    """Validation batches must be multiples of the grad-cache microbatch
+    (else eval_step falls back to a monolithic full-batch encode that OOMs
+    at exactly the scales grad-cache enables) and of the mesh size."""
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    tr = SimCLRTrainer(SimCLRConfig(), SimCLRTrainConfig(
+        batch_size=4096, grad_cache_microbatch=256))
+    assert tr._valid_batch_size(4000) == 3840       # floor to microbatch
+    assert tr._valid_batch_size(5000) == 4096       # capped at batch_size
+    assert tr._valid_batch_size(255) == 0           # skip: under one unit
+    assert tr._valid_batch_size(256) == 256
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    tr2 = SimCLRTrainer(SimCLRConfig(), SimCLRTrainConfig(batch_size=8),
+                        mesh=mesh)
+    assert tr2._valid_batch_size(7) == 4            # floor to mesh size
+    assert tr2._valid_batch_size(3) == 0

@@ -239,3 +239,36 @@ def test_fused_dispatch_auto_memory_routing():
     # integer override still forces the fused path below the memory limit
     tr2 = BagTrainer(cfg, fused_threshold=16384)
     assert tr2._use_fused(16384, bucket_bytes(2, 16384))
+
+
+def test_auto_dispatch_counts_extra_residents():
+    """extra_resident_bytes (a co-resident global store during fold
+    training) must push the auto estimate over the budget: a bucket that
+    would take the XLA path alone must go fused when 10 GiB of other
+    residents share the HBM."""
+    from tpumil.train.trainer import HBM_BUDGET_BYTES
+
+    cfg = DSMILConfig(feats_size=512, num_classes=1)
+    tr = BagTrainer(cfg)
+    nmax = 131072
+    bucket = 2 * nmax * 512 * 4
+    assert not tr._use_fused(nmax, bucket)
+    tr.extra_resident_bytes = 10 * 2 ** 30
+    assert tr._use_fused(nmax, bucket)
+
+
+def test_mil_cv_rejects_torch_default_for_non_dsmil():
+    """init='torch_default' only exists for dsmil; a silent orthogonal
+    fallback would invalidate the init-deviation measurement the field is
+    for — it must raise instead."""
+    from tpumil.data.bags import Bag
+    from tpumil.train.schemes import MILBenchConfig, run_mil_cv
+
+    rng = np.random.default_rng(0)
+    bags = [Bag(rng.standard_normal((8, 16)).astype(np.float32),
+                np.asarray([float(i % 2)], np.float32), f"b{i}")
+            for i in range(10)]
+    cfg = MILBenchConfig(num_feats=16, num_epochs=1, cv_fold=2,
+                         verbose=False, model="abmil", init="torch_default")
+    with pytest.raises(ValueError, match="torch_default"):
+        run_mil_cv(bags, cfg)

@@ -172,6 +172,16 @@ def augment_one(key, img, out_size: int = 224, strength: float = 1.0,
     return jnp.clip(img, 0.0, 1.0)
 
 
+def pair_keys(key, b: int):
+    """The canonical per-image key derivation for a two-view batch:
+    ``(keys1 [b, 2], keys2 [b, 2])``. The SINGLE source of it — both
+    `augment_pair_batch` and the SimCLR trainer's monolithic/grad-cache
+    steps derive keys here, so "a microbatch slice of (keys, images) sees
+    bitwise the full-batch views" stays true by construction."""
+    k1, k2 = jax.random.split(key)
+    return jax.random.split(k1, b), jax.random.split(k2, b)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def augment_pair_batch(key, images, out_size: int = 224, compute_dtype=None,
                        strength: float = 1.0):
@@ -180,10 +190,8 @@ def augment_pair_batch(key, images, out_size: int = 224, compute_dtype=None,
     dataset_wrapper.py:80-87). compute_dtype: see augment_one. strength =
     the reference's color-jitter ``s`` (config.yaml dataset.s,
     dataset_wrapper.py:48)."""
-    b = images.shape[0]
-    k1, k2 = jax.random.split(key)
-    return augment_pair_batch_keyed(jax.random.split(k1, b),
-                                    jax.random.split(k2, b), images,
+    keys1, keys2 = pair_keys(key, images.shape[0])
+    return augment_pair_batch_keyed(keys1, keys2, images,
                                     out_size, compute_dtype, strength)
 
 

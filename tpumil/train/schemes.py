@@ -75,13 +75,22 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
         optimizer=adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay),
         model=model or cfg.model,
     )
+    if global_store is not None:
+        # the global store stays HBM-resident while fold subsets train
+        trainer.extra_resident_bytes = global_store.nbytes()
     for k in range(cfg.cv_fold):
         train_bags, test_bags = cross_validation_split(bags, cfg.cv_fold, k)
         trainer.pos_weight = np.asarray([compute_pos_weight(train_bags)],
                                         np.float32)
         # the reference does NOT orthogonal-init in train_mil (default torch
         # init); cfg.init="torch_default" reproduces that path so the
-        # deviation of the default single-init policy is measurable.
+        # deviation of the default single-init policy is measurable. Only
+        # dsmil has a torch-default initializer — fail loudly rather than
+        # silently fall back to orthogonal and invalidate the measurement.
+        if cfg.init == "torch_default" and (model or cfg.model) != "dsmil":
+            raise ValueError(
+                f"init='torch_default' is only implemented for model='dsmil' "
+                f"(got {model or cfg.model!r}); use init='orthogonal'")
         if cfg.init == "torch_default" and (model or cfg.model) == "dsmil":
             from tpumil.models import dsmil as _dsmil
 
@@ -280,6 +289,11 @@ def run_5fold_cv(bags: List[Bag], cfg: WSITrainConfig,
     """train_tcga.py:252-294."""
     trainer = _make_trainer(cfg)
     store = _global_store(bags, cfg)
+    if store is not None:
+        # the global store stays HBM-resident while fold SUBSETS train; the
+        # auto giant-bag dispatch must count it (train/trainer.py
+        # extra_resident_bytes)
+        trainer.extra_resident_bytes = store.nbytes()
     fold_results = []
     for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(bags), 5)):
         resumed = _try_resume_fold(cfg, save_dir, fold, log, "5-fold-cv")
@@ -317,6 +331,11 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
     trainer = _make_trainer(cfg)
     rng = np.random.default_rng(cfg.seed)
     store = _global_store(bags, cfg)
+    if store is not None:
+        # the global store stays HBM-resident while fold SUBSETS train; the
+        # auto giant-bag dispatch must count it (train/trainer.py
+        # extra_resident_bytes)
+        trainer.extra_resident_bytes = store.nbytes()
     results = []
     for it in range(5):
         log(f"Starting iteration {it + 1}.")
@@ -357,6 +376,11 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
     trainer = _make_trainer(cfg)
     rng = np.random.default_rng(cfg.seed)
     store = _global_store(bags, cfg)
+    if store is not None:
+        # the global store stays HBM-resident while fold SUBSETS train; the
+        # auto giant-bag dispatch must count it (train/trainer.py
+        # extra_resident_bytes)
+        trainer.extra_resident_bytes = store.nbytes()
     order = rng.permutation(len(bags))
     n_hold = int(cfg.split * len(bags))
     holdout = [bags[i] for i in order[:n_hold]]

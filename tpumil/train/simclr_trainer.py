@@ -111,11 +111,9 @@ class SimCLRTrainer:
             return nt_xent_loss(z1, z2, cfg.temperature,
                                 cfg.use_cosine_similarity)
 
-        def image_keys(key, b):
-            # same derivation as augment_pair_batch(key, ...): the
-            # monolithic and grad-cache steps see identical views
-            k1, k2 = jax.random.split(key)
-            return jax.random.split(k1, b), jax.random.split(k2, b)
+        # the canonical derivation from ops/augment.py: the monolithic and
+        # grad-cache steps see exactly augment_pair_batch(key, ...)'s views
+        from tpumil.ops.augment import pair_keys as image_keys
 
         mb = cfg.grad_cache_microbatch
         if mb is not None:
@@ -200,6 +198,17 @@ class SimCLRTrainer:
         else:
             self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
             self._eval_step = jax.jit(eval_step)
+
+    def _valid_batch_size(self, n_valid: int) -> int:
+        """Validation batch size: the largest multiple of the batch unit
+        that fits ``n_valid``, capped at batch_size. The unit is the
+        grad-cache microbatch when set (so eval_step always takes the
+        O(microbatch) scan path — a non-multiple would fall back to a
+        monolithic full-batch encode and OOM at exactly the scales
+        grad-cache enables), else the mesh size (sharded batches must split
+        evenly over devices). 0 = skip validation this epoch."""
+        unit = self.cfg.grad_cache_microbatch or self._mesh_n
+        return min(self.cfg.batch_size, (n_valid // unit) * unit)
 
     def lr_at(self, epoch: int) -> float:
         """Constant through the warmup epochs, cosine afterwards
@@ -333,17 +342,16 @@ class SimCLRTrainer:
 
             if epoch % cfg.eval_every_n_epochs == 0 and valid_paths:
                 # full batches only: zero-padded fake images would dominate
-                # NT-Xent and corrupt best-checkpoint selection. In mesh
-                # mode the batch must also split evenly over devices.
-                v_bs = min(cfg.batch_size,
-                           (len(valid_paths) // self._mesh_n) * self._mesh_n)
+                # NT-Xent and corrupt best-checkpoint selection; see
+                # _valid_batch_size for the mesh/microbatch unit discipline
+                v_bs = self._valid_batch_size(len(valid_paths))
                 if v_bs == 0:
                     # skip ONLY the validation body — the epoch-end scalar
                     # log and crash-resume save below must still run, or
                     # --resume silently restarts from scratch
                     log(f"epoch {epoch}: validation skipped "
-                        f"({len(valid_paths)} paths < mesh size "
-                        f"{self._mesh_n})")
+                        f"({len(valid_paths)} paths < the validation "
+                        f"batch unit)")
                 else:
                     v_batches = len(valid_paths) // v_bs
                     v_loader = PatchBatchLoader(

@@ -123,6 +123,13 @@ class BagTrainer:
     # Only the reference configuration is eligible (dsmil, nonlinear q,
     # passing_v=False, no patch dropout, f32 compute).
     fused_threshold: object = "auto"
+    # Other HBM residents the caller keeps alive alongside this trainer's
+    # dispatches (e.g. a global DeviceBagStore whose fold subsets are being
+    # trained) — added to the "auto" estimate so a large co-resident dataset
+    # can't push an XLA-routed step into an OOM. The scheme runners set it
+    # to the global store's nbytes(); store-based calls already account the
+    # store they train on.
+    extra_resident_bytes: int = 0
     # 512 rows/tile: the streaming backward's scoped-VMEM stack at true-f32
     # (HIGHEST) dot precision overflows the 16 MB budget at tile 1024
     # (17.7 MB measured) — the multi-pass f32 matmuls stage decomposed
@@ -255,8 +262,8 @@ class BagTrainer:
         if nmax % min(self.fused_tile, nmax) != 0:
             return False
         if self.fused_threshold == "auto":
-            est = bucket_bytes + xla_train_workingset_bytes(
-                nmax, self.cfg.feats_size)
+            est = (self.extra_resident_bytes + bucket_bytes
+                   + xla_train_workingset_bytes(nmax, self.cfg.feats_size))
             return est > HBM_BUDGET_BYTES
         return nmax >= self.fused_threshold
 
@@ -359,12 +366,16 @@ class BagTrainer:
         return self._fused_fns_cache[tile]
 
     def _train_bucket_any(self, params, opt_state, feats, mask, labels, perm,
-                          lr, keys, real, nmax):
+                          lr, keys, real, nmax, resident_bytes=None):
         """One bucket of per-bag steps through whichever path _use_fused
         picks. Callers always draw ``keys`` so the host PRNG stream does not
         depend on the dispatch decision (the fused path needs none: it is
-        only eligible with every dropout off)."""
-        if self._use_fused(nmax, feats.nbytes):
+        only eligible with every dropout off). ``resident_bytes``: total
+        device-resident data bytes for the dispatch decision (store paths
+        pass the WHOLE store's nbytes — every bucket stays in HBM, not just
+        the one being trained); None = just this bucket."""
+        if self._use_fused(nmax, feats.nbytes if resident_bytes is None
+                           else resident_bytes):
             fused_bucket, _, _ = self._fused_fns(nmax)
             self.fused_dispatches += 1
             return fused_bucket(params, opt_state, feats, mask, labels, perm,
@@ -372,9 +383,11 @@ class BagTrainer:
         return self._train_bucket(params, opt_state, feats, mask, labels,
                                   perm, lr, keys, real, self._pw())
 
-    def _eval_chunk_any(self, params, feats, mask, labels, keys, nmax):
+    def _eval_chunk_any(self, params, feats, mask, labels, keys, nmax,
+                        resident_bytes=None):
         """Batched eval through whichever path _use_fused picks."""
-        if self._use_fused(nmax, feats.nbytes):
+        if self._use_fused(nmax, feats.nbytes if resident_bytes is None
+                           else resident_bytes):
             _, _, fused_eval = self._fused_fns(nmax)
             self.fused_dispatches += 1
             return fused_eval(params, feats, mask, labels, self._pw())
@@ -473,7 +486,7 @@ class BagTrainer:
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
             ).reshape(e, b, 2)
-            if self._use_fused(nmax, feats.nbytes):
+            if self._use_fused(nmax, store.nbytes()):
                 _, fused_epochs, _ = self._fused_fns(nmax)
                 self.fused_dispatches += 1
                 params, opt_state, losses = fused_epochs(
@@ -506,7 +519,8 @@ class BagTrainer:
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
             params, opt_state, loss = self._train_bucket_any(
                 params, opt_state, feats, mask, labels, jnp.asarray(perm),
-                lr, keys, jnp.asarray(real), nmax)
+                lr, keys, jnp.asarray(real), nmax,
+                resident_bytes=store.nbytes())
             total += float(loss)
         return params, opt_state, total / max(store.num_bags, 1)
 
@@ -553,7 +567,8 @@ class BagTrainer:
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
             losses, scores, avg_scores = self._eval_chunk_any(
-                params, feats, mask, labels, keys, nmax)
+                params, feats, mask, labels, keys, nmax,
+                resident_bytes=store.nbytes())
             chosen = np.asarray(avg_scores if average else scores)
             idx = store.index[nmax]
             scores_out[idx] = chosen[:len(idx)]  # dummies sit past the reals
