@@ -272,3 +272,63 @@ def test_mil_cv_rejects_torch_default_for_non_dsmil():
                          verbose=False, model="abmil", init="torch_default")
     with pytest.raises(ValueError, match="torch_default"):
         run_mil_cv(bags, cfg)
+
+
+def _eval_chunk_inputs(rng, b=8, nmax=256, feats_size=64):
+    feats = jnp.asarray(rng.standard_normal((b, nmax, feats_size))
+                        .astype(np.float32))
+    mask = jnp.ones((b, nmax), bool)
+    labels = jnp.asarray((rng.random((b, 1)) > 0.5).astype(np.float32))
+    keys = jax.random.split(jax.random.PRNGKey(7), b)
+    return feats, mask, labels, keys
+
+
+def test_eval_auto_splits_bag_axis(monkeypatch):
+    """When the whole [b, nmax] eval chunk's estimated transients overflow
+    the budget, the auto path halves the bag axis (free in math — bags are
+    independent in eval) instead of dropping to the slower fused kernels;
+    results must match the unsplit forward."""
+    from tpumil.train import trainer as trainer_mod
+
+    rng = np.random.default_rng(5)
+    cfg = DSMILConfig(feats_size=64, num_classes=1)
+    tr = BagTrainer(cfg)
+    params, _ = tr.init(jax.random.PRNGKey(0))
+    feats, mask, labels, keys = _eval_chunk_inputs(rng)
+
+    ref = tr._eval_chunk(params, feats, mask, labels, keys, tr._pw())
+
+    # effective 8 MiB/instance after the feats_size/512=0.125 scale:
+    # fits(8*256) fails (16 GiB), fits(4*256) passes (8 GiB)
+    monkeypatch.setattr(trainer_mod, "XLA_EVAL_BYTES_PER_INSTANCE",
+                        64 * 2 ** 20)
+    out = tr._eval_chunk_any(params, feats, mask, labels, keys, 256)
+    assert tr.eval_splits == 1 and tr.fused_dispatches == 0
+    for a, b_ in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-6, atol=1e-6)
+
+
+def test_eval_auto_fused_when_one_bag_overflows(monkeypatch):
+    """When even a single bag's forward does not fit, the auto eval path
+    falls back to the fused O(tile) kernels (interpret mode off-TPU)."""
+    from tpumil.train import trainer as trainer_mod
+
+    rng = np.random.default_rng(6)
+    cfg = DSMILConfig(feats_size=64, num_classes=1)
+    tr = BagTrainer(cfg)
+    params, _ = tr.init(jax.random.PRNGKey(0))
+    b, nmax = 2, 512  # nmax == fused_tile: fused-eligible shape
+    feats, mask, labels, keys = _eval_chunk_inputs(rng, b=b, nmax=nmax)
+
+    ref = tr._eval_chunk(params, feats, mask, labels, keys, tr._pw())
+
+    # effective 64 MiB/instance after the feats_size/512 scale: even 1*512
+    # instances estimate to 32 GiB > budget
+    monkeypatch.setattr(trainer_mod, "XLA_EVAL_BYTES_PER_INSTANCE",
+                        512 * 2 ** 20)
+    out = tr._eval_chunk_any(params, feats, mask, labels, keys, nmax)
+    assert tr.fused_dispatches == 1 and tr.eval_splits == 0
+    for a, b_ in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-5, atol=1e-5)

@@ -87,6 +87,25 @@ def xla_train_workingset_bytes(nmax: int, feats_size: int = 512) -> int:
     return int(XLA_STEP_BYTES_PER_INSTANCE * (feats_size / 512.0) * nmax)
 
 
+# Upper bound on the forward-only eval chunk's transient working set per
+# CHUNK instance. Unlike the train step (a scan of per-bag grad steps, so
+# transients scale with ONE bag's nmax), eval forwards the whole [b, nmax]
+# chunk at once — transients scale with b*nmax. Ballast-bisection measured
+# (benchmarks/xla_workingset_probe.py eval mode): 524k-instance chunks ran
+# alongside 12 GiB ballast, bounding the true slope at <= ~4 KiB/instance;
+# shipping a 2x over-bound only splits the bag axis earlier (see
+# _eval_chunk_any), never towards an OOM.
+XLA_EVAL_BYTES_PER_INSTANCE = 8 * 1024  # at feats_size 512
+
+
+def xla_eval_workingset_bytes(total_instances: int,
+                              feats_size: int = 512) -> int:
+    """Estimated peak transient bytes of ONE batched XLA eval forward over
+    a chunk of ``total_instances`` = b * nmax padded instances."""
+    return int(XLA_EVAL_BYTES_PER_INSTANCE * (feats_size / 512.0)
+               * total_instances)
+
+
 @dataclasses.dataclass
 class BagTrainer:
     """Per-bag DSMIL trainer with reference-equivalent optimization.
@@ -248,6 +267,7 @@ class BagTrainer:
             and self.fused_threshold is not None)
         self._fused_fns_cache: dict = {}
         self.fused_dispatches = 0  # observability + tests
+        self.eval_splits = 0  # bag-axis splits taken by the eval auto path
 
     # -- fused Pallas path for giant bags ------------------------------------
 
@@ -383,11 +403,53 @@ class BagTrainer:
         return self._train_bucket(params, opt_state, feats, mask, labels,
                                   perm, lr, keys, real, self._pw())
 
+    def _fused_eval_ok(self, nmax: int) -> bool:
+        return self._fused_eligible and nmax % min(self.fused_tile, nmax) == 0
+
     def _eval_chunk_any(self, params, feats, mask, labels, keys, nmax,
                         resident_bytes=None):
-        """Batched eval through whichever path _use_fused picks."""
-        if self._use_fused(nmax, feats.nbytes if resident_bytes is None
-                           else resident_bytes):
+        """Batched eval through whichever path fits.
+
+        Eval transients scale with the WHOLE [b, nmax] chunk (one batched
+        forward), not per bag like the train scan — so under the "auto"
+        memory policy an oversized chunk first SHRINKS its bag axis
+        (power-of-two sub-chunks; bags are independent in eval, so this is
+        free in math and keeps the faster XLA path) and only falls back to
+        the fused O(tile) kernels when even a single bag's forward does not
+        fit. Explicit integer/None thresholds keep the plain dispatch."""
+        resident = (feats.nbytes if resident_bytes is None
+                    else resident_bytes)
+        if self.fused_threshold == "auto":
+            b = feats.shape[0]
+            fs = self.cfg.feats_size
+
+            def fits(sub_b):
+                # sub-chunk slices materialize a copy alongside the residents
+                slice_bytes = 0 if sub_b == b else sub_b * nmax * fs * 4
+                est = (self.extra_resident_bytes + resident + slice_bytes
+                       + xla_eval_workingset_bytes(sub_b * nmax, fs))
+                return est <= HBM_BUDGET_BYTES
+
+            sub = b
+            while sub > 1 and not fits(sub):
+                sub //= 2
+            if not fits(sub) and self._fused_eval_ok(nmax):
+                _, _, fused_eval = self._fused_fns(nmax)
+                self.fused_dispatches += 1
+                return fused_eval(params, feats, mask, labels, self._pw())
+            if sub < b:
+                # best effort even when sub=1 does not formally fit but the
+                # fused path is ineligible: smallest XLA footprint possible
+                self.eval_splits += 1
+                outs = [self._eval_chunk(params, feats[i:i + sub],
+                                         mask[i:i + sub], labels[i:i + sub],
+                                         keys[i:i + sub], self._pw())
+                        for i in range(0, b, sub)]
+                return tuple(jnp.concatenate(parts)
+                             for parts in zip(*outs))
+            return self._eval_chunk(params, feats, mask, labels, keys,
+                                    self._pw())
+        if self._use_fused(nmax, resident):
             _, _, fused_eval = self._fused_fns(nmax)
             self.fused_dispatches += 1
             return fused_eval(params, feats, mask, labels, self._pw())
