@@ -83,6 +83,9 @@ def main():
         # reference scale via gradient cache (exact grads, O(mb) memory)
         (4096, False, "bf16", 512),
         (4096, False, "bf16", 256),
+        (4096, False, "bf16", 128),
+        (4096, False, "bf16", 64),
+        (4096, False, "bf16", 32),
         (4096, True, "bf16", 512),
         (2048, False, "bf16", 512),
         # monolithic ceiling for the record

@@ -46,8 +46,8 @@ def main(argv=None):
                         help="Gradient-cache microbatch size: exact NT-Xent "
                              "gradients at O(microbatch) activation memory "
                              "(enables the reference's batch_size 4096 on "
-                             "one 16 GB chip, e.g. --grad_cache 256; 0 = "
-                             "monolithic step)")
+                             "one 16 GB chip; 128 measured fastest at batch "
+                             "4096 — see docs/PERF.md; 0 = monolithic step)")
     parser.add_argument("--resume", action="store_true",
                         help="Continue an interrupted pretraining from the "
                              "orbax train state under <run_dir>/state")
