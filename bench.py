@@ -26,12 +26,96 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 FEAT_BASELINE_PPS = 3500.0     # A100 PyTorch fp16 resnet18 eager inference
 AGG_BASELINE_BPS = 100.0       # reference per-bag torch loop (train_tcga.py:60-73)
+
+# ---------------------------------------------------------------------------
+# Failure containment. A perf harness whose failure looks like a hang cannot
+# anchor a round record (round-3 lesson: the TPU tunnel went down and the
+# driver capture sat >9 min on an unbounded backend init). Three layers:
+#   1. _probe_backend(): before touching JAX in-process, probe the backend in
+#      a SUBPROCESS with a hard timeout, retrying with backoff — a dead
+#      tunnel becomes a fast, explained failure instead of a hang.
+#   2. _arm_watchdog(): a daemon timer that, if the whole bench exceeds
+#      BENCH_DEADLINE_S, prints one structured JSON error line (naming the
+#      stage that was running) and force-exits.
+#   3. main() wraps everything: any exception becomes one structured
+#      {"error": ...} JSON line with rc != 0.
+# So stdout ALWAYS carries exactly one JSON line: a result or an error.
+# ---------------------------------------------------------------------------
+
+_STAGE = ["startup"]
+
+
+def _stage(name: str) -> None:
+    _STAGE[0] = name
+    print(f"[bench {time.strftime('%H:%M:%S')}] stage: {name}",
+          file=sys.stderr, flush=True)
+
+
+def _emit_error(kind: str, rc: int, **extra) -> "NoReturn":  # noqa: F821
+    out = {"error": kind, "stage": _STAGE[0],
+           "mode": os.environ.get("BENCH_MODE", "feats")}
+    out.update(extra)
+    print(json.dumps(out), flush=True)
+    # os._exit: the watchdog fires from a non-main thread, and a dead TPU
+    # tunnel can leave non-daemon machinery wedged — skip atexit/GC entirely.
+    os._exit(rc)
+
+
+def _arm_watchdog(deadline_s: float) -> None:
+    import threading
+
+    def fire() -> None:
+        _emit_error("bench_deadline_exceeded", 3, deadline_s=deadline_s)
+
+    t = threading.Timer(deadline_s, fire)
+    t.daemon = True
+    t.start()
+
+
+def _probe_backend(attempts: int = 3, timeout_s: float = 90.0) -> None:
+    """Bounded, retried JAX-backend liveness probe (in a subprocess).
+
+    Runs `import jax; devices; tiny matmul` in a child with a hard timeout so
+    a wedged TPU tunnel can never hang the bench process itself. On final
+    failure emits ONE structured JSON error line and exits rc=2.
+    """
+    import subprocess
+
+    # honor an explicit JAX_PLATFORMS in the child despite the axon site
+    # hook that overrides the env var (CLAUDE.md: forcing a platform needs
+    # BOTH the env var and the config update)
+    code = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+            "p and jax.config.update('jax_platforms', p); "
+            "import jax.numpy as jnp; d = jax.devices(); "
+            "x = jnp.ones((8, 8)); s = float((x @ x).sum()); "
+            "print(d[0].platform, len(d), s)")
+    last = "unknown"
+    for i in range(1, attempts + 1):
+        _stage(f"backend probe {i}/{attempts} (timeout {timeout_s:.0f}s)")
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last = f"probe subprocess exceeded {timeout_s:.0f}s"
+        else:
+            if r.returncode == 0:
+                print(f"[bench] backend alive: {r.stdout.strip()}",
+                      file=sys.stderr, flush=True)
+                return
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            last = tail[-1] if tail else f"probe rc={r.returncode}"
+        print(f"[bench] probe failed: {last}", file=sys.stderr, flush=True)
+        if i < attempts:
+            time.sleep(5.0 * i)
+    _emit_error("tpu_unavailable", 2, attempts=attempts, detail=last)
 
 
 def _measure_embed_rate(cfg, batch: int, scan_len: int, repeats: int) -> float:
@@ -132,6 +216,58 @@ def bench_aggregator_train(n_bags: int = 256, n_inst: int = 1024,
         "metric": "aggregator_train_throughput",
         "value": round(best, 2),
         "unit": "bags/sec (1024x512 bags, per-bag Adam steps)",
+        "vs_baseline": round(best / AGG_BASELINE_BPS, 2),
+    }
+
+
+def bench_aggregator_multibucket(bags_per_bucket: int = 64,
+                                 sizes: tuple = (512, 1024, 2048, 4096),
+                                 feats: int = 512, classes: int = 1,
+                                 epochs: int = 5, repeats: int = 5) -> dict:
+    """The REALISTIC aggregator number: a C16-like size spread across four
+    buckets. train_epochs stays epoch-major across buckets (exact
+    train_epoch semantics — no bucket-major curriculum bias) but defers
+    every loss fetch, so all epochs*buckets dispatches pipeline through the
+    tunnel with ONE host sync at the end. Compare with BENCH_MODE=aggregator
+    (single bucket, whole run fused into one dispatch) for the fusion win."""
+    import jax
+
+    from tpumil.data.bags import Bag
+    from tpumil.data.device_store import DeviceBagStore
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.train.trainer import BagTrainer
+
+    rng = np.random.default_rng(0)
+    bags = []
+    for n_inst in sizes:
+        for i in range(bags_per_bucket):
+            bags.append(Bag(
+                rng.standard_normal((n_inst, feats)).astype(np.float32),
+                np.asarray([float(i % 2)], np.float32), f"b{n_inst}_{i}"))
+    n_bags = len(bags)
+    cfg = DSMILConfig(feats_size=feats, num_classes=classes)
+    trainer = BagTrainer(cfg)
+    params, opt_state = trainer.init(jax.random.PRNGKey(0))
+    store = DeviceBagStore(bags)
+    assert len(store.bucket_sizes) == len(sizes), store.bucket_sizes
+
+    lrs = [1e-4] * epochs
+    params, opt_state, losses = trainer.train_epochs(params, opt_state,
+                                                     store, lrs, rng)
+    _ = float(losses[-1])  # compile all bucket programs + execute once
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        params, opt_state, losses = trainer.train_epochs(params, opt_state,
+                                                         store, lrs, rng)
+        _ = float(losses[-1])
+        dt = time.perf_counter() - t0
+        best = max(best, epochs * n_bags / dt)
+    return {
+        "metric": "aggregator_multibucket_train_throughput",
+        "value": round(best, 2),
+        "unit": (f"bags/sec ({len(sizes)} buckets {list(sizes)}x{feats}, "
+                 f"epoch-major pipelined dispatches, per-bag Adam steps)"),
         "vs_baseline": round(best / AGG_BASELINE_BPS, 2),
     }
 
@@ -249,12 +385,30 @@ def bench_stream(side: int = 8192, tissue_frac: float = 0.6,
 
 def main():
     mode = os.environ.get("BENCH_MODE", "feats")
-    if mode == "aggregator":
-        result = bench_aggregator_train()
-    elif mode == "stream":
-        result = bench_stream()
-    else:
-        result = bench_feature_extraction()
+    _arm_watchdog(float(os.environ.get("BENCH_DEADLINE_S", "2400")))
+    _probe_backend(
+        attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3")),
+        timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "90")))
+    try:
+        if mode == "aggregator":
+            _stage("aggregator: build bags + fused train_epochs")
+            result = bench_aggregator_train()
+        elif mode == "stream":
+            _stage("stream: synth slides + pipelined embed trials")
+            result = bench_stream()
+        elif mode == "multibucket":
+            _stage("multibucket: 4-bucket epoch-major train_epochs")
+            result = bench_aggregator_multibucket()
+        else:
+            _stage("feats: bf16 + f32 embed scans")
+            result = bench_feature_extraction()
+    except Exception as e:  # noqa: BLE001 — one JSON line, always
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_error("bench_exception", 1,
+                    exception=f"{type(e).__name__}: {e}")
+    _stage("done")
     print(json.dumps(result))
 
 

@@ -187,6 +187,36 @@ def test_fused_dispatch_device_store_epochs(rng):
     np.testing.assert_allclose(s1, s2, rtol=1e-3, atol=1e-4)
 
 
+def test_train_epochs_multibucket_matches_sequential(rng):
+    """Multi-bucket train_epochs (deferred per-bucket losses, dispatches
+    pipelined with ONE host sync) must reproduce E sequential train_epoch
+    calls EXACTLY — epoch-major visitation with identical rng consumption,
+    so the pipelining is pure latency hiding, never a semantics change."""
+    from tpumil.data.device_store import DeviceBagStore
+
+    cfg = DSMILConfig(feats_size=32, num_classes=1)
+    bags = [Bag(rng.standard_normal((n, 32)).astype(np.float32),
+                np.asarray([i % 2], np.float32), f"b{i}")
+            for i, n in enumerate((20, 25, 40, 60, 90, 130, 70, 35))]
+    store = DeviceBagStore(bags)
+    assert len(store.bucket_sizes) >= 3, store.bucket_sizes
+    tr = BagTrainer(cfg)
+    params, opt_state = tr.init(jax.random.PRNGKey(2))
+    lrs = [1e-4, 8e-5, 5e-5]
+
+    p1, o1, losses1 = tr.train_epochs(_clone(params), _clone(opt_state),
+                                      store, lrs, np.random.default_rng(7))
+    rng2 = np.random.default_rng(7)
+    p2, o2 = _clone(params), _clone(opt_state)
+    losses2 = []
+    for lr in lrs:
+        p2, o2, mean_loss = tr._train_epoch_store(p2, o2, store, lr, rng2)
+        losses2.append(mean_loss)
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fused_dispatch_ineligible_configs():
     """Patch dropout, abmil, passing_v, and bf16 compute stay on the XLA
     path even with a fused_threshold set; None disables entirely."""

@@ -123,7 +123,8 @@ def _shard_map(body, mesh, in_specs, out_specs):
 
 def make_instance_sharded_train_step(mesh: Mesh, optimizer=None,
                                      axis: str = "inst",
-                                     compute_dtype=jnp.float32):
+                                     compute_dtype=jnp.float32,
+                                     weight_decay: float = 1e-3):
     """Reference-faithful per-bag training for a bag LARGER than one chip.
 
     The reference trains one Adam step per bag, with the whole bag resident
@@ -141,11 +142,17 @@ def make_instance_sharded_train_step(mesh: Mesh, optimizer=None,
     -> (params, opt_state, loss)``; feats/mask sharded via
     :func:`shard_bag`, params and opt_state replicated. N must divide
     evenly by the axis size (pad + mask, ops/masked.py discipline).
+
+    ``weight_decay`` is used only when ``optimizer`` is None; the default
+    1e-3 matches the reference WSI configuration (train_tcga.py:207, same
+    L2-in-grad semantics as torch Adam's weight_decay). Pass an explicit
+    ``optimizer`` (e.g. from schemes.py configs) to override everything.
     """
     from tpumil.ops.losses import dual_stream_loss
     from tpumil.train.optim import adam_torch
 
-    optimizer = optimizer or adam_torch(betas=(0.5, 0.9), weight_decay=0.0)
+    optimizer = optimizer or adam_torch(betas=(0.5, 0.9),
+                                        weight_decay=weight_decay)
     fwd = _shard_map(
         partial(_local_forward, axis=axis, compute_dtype=compute_dtype),
         mesh, in_specs=(P(), P(axis, None), P(axis)),

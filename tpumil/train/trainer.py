@@ -73,6 +73,35 @@ def _gated_optimizer_step(optimizer, p, s, loss, grads, lr, real):
 # ~13 GiB + the step's own working set; budgeting 13 GiB keeps a wide
 # safety margin for the params/opt-state and allocator fragmentation.
 HBM_BUDGET_BYTES = 13 * 2 ** 30
+_HBM_BUDGET_CACHE: list = []  # lazily resolved once per process
+
+
+def hbm_budget_bytes() -> int:
+    """Usable-HBM budget for the "auto" memory dispatch.
+
+    Scales the measured 13/16 usable fraction to the attached device's real
+    allocator limit (``memory_stats()['bytes_limit']``) so a smaller-HBM
+    chip does not get routed an OOMing XLA step and a larger chip is not
+    pushed onto the ~30-40% slower fused path early. Falls back to the
+    measured 13 GiB v5e constant when memory_stats is unavailable (CPU,
+    older runtimes). Lazy: never triggers backend init by itself — until
+    the first dispatch decision JAX is already initialized anyway."""
+    if not _HBM_BUDGET_CACHE:
+        limit = 0
+        try:
+            import jax as _jax
+
+            dev = _jax.local_devices()[0]
+            if dev.platform == "tpu":  # CPU/virtual devices report the whole
+                stats = dev.memory_stats() or {}  # host RAM or nothing
+                limit = int(stats.get("bytes_limit", 0))
+        except Exception:
+            pass
+        _HBM_BUDGET_CACHE.append(limit)
+    limit = _HBM_BUDGET_CACHE[0]
+    # fall through to the module constant at CALL time (not cached) so CPU
+    # test runs see monkeypatched values of HBM_BUDGET_BYTES
+    return int(limit * (13 / 16)) if limit > 0 else HBM_BUDGET_BYTES
 # Upper bound on the XLA per-bag train step's transient working set per
 # bucket instance (autodiff residuals + staged true-f32 operand copies),
 # measured at K=512 and scaled linearly in K. The probe bounds the true
@@ -284,7 +313,7 @@ class BagTrainer:
         if self.fused_threshold == "auto":
             est = (self.extra_resident_bytes + bucket_bytes
                    + xla_train_workingset_bytes(nmax, self.cfg.feats_size))
-            return est > HBM_BUDGET_BYTES
+            return est > hbm_budget_bytes()
         return nmax >= self.fused_threshold
 
     def _fused_fns(self, nmax: int):
@@ -424,14 +453,23 @@ class BagTrainer:
             fs = self.cfg.feats_size
 
             def fits(sub_b):
-                # sub-chunk slices materialize a copy alongside the residents
-                slice_bytes = 0 if sub_b == b else sub_b * nmax * fs * 4
+                # sub-chunk slices materialize a copy alongside the residents.
+                # NOTE: the XLA_*_BYTES_PER_INSTANCE probe constants were
+                # calibrated with f32 features; a bf16 store halves the slice
+                # bytes here but keeps the (over-bounding) f32 working-set
+                # coefficients — conservative in the safe direction.
+                itemsize = getattr(feats.dtype, "itemsize", 4)
+                slice_bytes = 0 if sub_b == b else sub_b * nmax * fs * itemsize
                 est = (self.extra_resident_bytes + resident + slice_bytes
                        + xla_eval_workingset_bytes(sub_b * nmax, fs))
-                return est <= HBM_BUDGET_BYTES
+                return est <= hbm_budget_bytes()
 
             sub = b
-            while sub > 1 and not fits(sub):
+            # halve only while divisible: b is a power of two by the
+            # _pad_chunk/store padding invariant, but if a caller ever hands
+            # a ragged chunk this must not compile a fresh program per
+            # distinct tail shape — stop at the last even divisor instead
+            while sub > 1 and sub % 2 == 0 and not fits(sub):
                 sub //= 2
             if not fits(sub) and self._fused_eval_ok(nmax):
                 _, _, fused_eval = self._fused_fns(nmax)
@@ -535,7 +573,11 @@ class BagTrainer:
         With multiple buckets, fusing E epochs per bucket would train
         bucket-by-bucket (bag size correlates with slide content — a biased
         curriculum), so the loop stays epoch-major: per epoch, one dispatch
-        per bucket, matching train_epoch's visitation semantics."""
+        per bucket, matching train_epoch's visitation semantics EXACTLY —
+        but all E*num_buckets dispatches are enqueued without a host sync
+        (losses stay on device until the end), so on a remote chip the
+        per-dispatch tunnel latency overlaps device compute instead of
+        serializing with it (docs/PERF.md "Multi-bucket epoch pipelining")."""
         e = len(lrs)
         lrs_j = jnp.asarray(lrs, jnp.float32)
         if len(store.bucket_sizes) == 1:
@@ -560,17 +602,26 @@ class BagTrainer:
                     real, self._pw())
             return params, opt_state, (np.asarray(losses, np.float64)
                                        / max(store.num_bags, 1))
-        totals = np.zeros((e,), np.float64)
-        for i, lr in enumerate(lrs):
-            params, opt_state, mean_loss = self._train_epoch_store(
-                params, opt_state, store, lr, rng)
-            totals[i] = mean_loss
+        per_epoch = []
+        for lr in lrs:
+            params, opt_state, losses = self._train_epoch_store(
+                params, opt_state, store, lr, rng, defer_losses=True)
+            per_epoch.append(losses)
+        # ONE host sync for the whole training run: device scalars fetched
+        # together after every dispatch is enqueued
+        fetched = jax.device_get(per_epoch)
+        totals = np.asarray([float(np.sum(ep)) for ep in fetched],
+                            np.float64) / max(store.num_bags, 1)
         return params, opt_state, totals
 
     def _train_epoch_store(self, params, opt_state, store, lr,
-                           rng: np.random.Generator):
+                           rng: np.random.Generator, *,
+                           defer_losses: bool = False):
+        """One epoch over a DeviceBagStore. With ``defer_losses`` the
+        per-bucket loss sums come back as DEVICE scalars (no host sync —
+        dispatches pipeline); otherwise returns the mean loss as a float."""
         lr = jnp.asarray(lr, jnp.float32)
-        total = 0.0
+        losses = []
         sizes = list(store.bucket_sizes)
         rng.shuffle(sizes)
         for nmax in sizes:
@@ -583,7 +634,10 @@ class BagTrainer:
                 params, opt_state, feats, mask, labels, jnp.asarray(perm),
                 lr, keys, jnp.asarray(real), nmax,
                 resident_bytes=store.nbytes())
-            total += float(loss)
+            losses.append(loss)
+        if defer_losses:
+            return params, opt_state, losses
+        total = float(np.sum(jax.device_get(losses))) if losses else 0.0
         return params, opt_state, total / max(store.num_bags, 1)
 
     def predict(self, params, bags, *, average: bool = False,

@@ -8,6 +8,7 @@ user's ``--device`` choice stick regardless.
 from __future__ import annotations
 
 import os
+from typing import Optional
 
 
 def select_platform(device: str = "auto") -> None:
