@@ -28,6 +28,7 @@ import json
 import os
 import sys
 import time
+from typing import NoReturn
 
 import numpy as np
 
@@ -58,7 +59,7 @@ def _stage(name: str) -> None:
           file=sys.stderr, flush=True)
 
 
-def _emit_error(kind: str, rc: int, **extra) -> "NoReturn":  # noqa: F821
+def _emit_error(kind: str, rc: int, **extra) -> NoReturn:
     out = {"error": kind, "stage": _STAGE[0],
            "mode": os.environ.get("BENCH_MODE", "feats")}
     out.update(extra)

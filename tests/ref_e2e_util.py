@@ -119,6 +119,12 @@ def parse_reference_output(out: str) -> dict:
         res["bag_order"] = [
             os.path.splitext(os.path.basename(p))[0]
             for p in json.loads(m.group(1))]
+    m = re.search(r"REF_SHUFFLE_ORDER:(\[.*\])", out)
+    if m:
+        # the standalone-test holdout shuffle (train_tcga.py:352), as stems
+        res["shuffle_order"] = [
+            os.path.splitext(os.path.basename(p))[0]
+            for p in json.loads(m.group(1))]
     res["stdout"] = out
     return res
 

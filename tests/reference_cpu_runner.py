@@ -67,6 +67,30 @@ def _cpu_load(*a, **k):
 
 torch.load = _cpu_load
 
+# ---- record the standalone-test bag shuffle --------------------------------
+# train_tcga.py:352 shuffles the bag-path list (sklearn.utils.shuffle, global
+# np RNG) to pick the reserved holdout; replaying tpumil's schemes on the
+# identical split needs that order. Pure observation: the wrapper calls
+# straight through (same RNG consumption) and records list-of-path results
+# only — get_bag_feats' per-bag DataFrame row shuffles (train_tcga.py:24) and
+# train()'s per-epoch path shuffles pass through unrecorded except the first
+# list shuffle, which IS the standalone split (it precedes any train() call).
+import sklearn.utils  # noqa: E402
+
+_list_shuffles = []
+_shuffle = sklearn.utils.shuffle
+
+
+def _recording_shuffle(*arrays, **kw):
+    out = _shuffle(*arrays, **kw)
+    if (len(arrays) == 1 and isinstance(arrays[0], list)
+            and arrays[0] and isinstance(arrays[0][0], str)):
+        _list_shuffles.append(list(out))
+    return out
+
+
+sklearn.utils.shuffle = _recording_shuffle
+
 # ---- scipy<1.11 mode semantics (train_tcga.py:402) -------------------------
 import scipy.stats as _sstats  # noqa: E402
 
@@ -85,3 +109,5 @@ import train_tcga  # noqa: E402
 sys.argv = ["train_tcga.py"] + sys.argv[1:]
 train_tcga.main()
 print("\nREF_GLOB_ORDER:" + json.dumps(glob.glob("temp_train/*.pt")))
+if _list_shuffles:
+    print("REF_SHUFFLE_ORDER:" + json.dumps(_list_shuffles[0]))

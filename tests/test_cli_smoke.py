@@ -34,6 +34,18 @@ def test_cli_help(module):
     assert "usage" in out.stdout.lower()
 
 
+def test_cli_listing():
+    """`python -m tpumil.cli` prints the entry-point listing."""
+    out = subprocess.run(
+        [sys.executable, "-m", "tpumil.cli"],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": ".", "HOME": "/tmp"})
+    assert out.returncode == 0, out.stderr[-500:]
+    for mod in CLIS:
+        assert mod.rsplit(".", 1)[1] in out.stdout
+
+
 def test_cli_bad_args():
     out = subprocess.run(
         [sys.executable, "-m", "tpumil.cli.train_wsi", "--eval_scheme", "bogus",

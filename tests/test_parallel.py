@@ -248,3 +248,93 @@ def test_train_bags_sharded_epoch_parity(rng):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5,
                                    err_msg=f"param {k} diverged")
+
+
+def test_sharded_train_state_resume_and_retopology(rng, tmp_path):
+    """Sharded train-state checkpointing (VERDICT r3 item 3): (a) a mid-run
+    save of the instance-sharded trainer restores BITWISE on the same mesh
+    and continues the exact trajectory; (b) the same checkpoint restores
+    onto a SMALLER mesh (8 -> 4 devices) with explicit shardings — no
+    'Sharding info not provided' unsafe-topology warning — and training
+    continues there."""
+    import warnings
+
+    from tpumil.data.bags import Bag
+    from tpumil.io.native_ckpt import (load_sharded_train_state,
+                                       save_sharded_train_state)
+    from tpumil.parallel.bag_shard import (make_instance_sharded_train_step,
+                                           train_bags_sharded)
+    from tpumil.parallel.mesh import replicated
+
+    cfg = DSMILConfig(feats_size=32, num_classes=2)
+    mesh8 = Mesh(np.asarray(jax.devices()), ("inst",))
+    step8, optimizer = make_instance_sharded_train_step(mesh8)
+
+    sizes = [24, 50, 64, 17]
+    bags = [Bag(rng.standard_normal((n, cfg.feats_size)).astype(np.float32),
+                np.asarray([float(i % 2), float((i + 1) % 2)], np.float32),
+                f"b{i}")
+            for i, n in enumerate(sizes)]
+    params0 = dsmil.init_params(jax.random.PRNGKey(2), cfg)
+
+    def run_epochs(step, mesh, params, opt_state, epochs):
+        for e in epochs:
+            params, opt_state, _ = train_bags_sharded(
+                step, mesh, params, opt_state, bags, 2e-3,
+                np.random.default_rng([11, e]))
+        return params, opt_state
+
+    # uninterrupted: 3 epochs straight
+    p_all, s_all = run_epochs(step8, mesh8,
+                              jax.tree.map(jnp.copy, params0),
+                              optimizer.init(params0), range(3))
+
+    # interrupted at epoch 2: save, restore onto the SAME mesh, continue
+    ckpt = str(tmp_path / "state")
+    p2, s2 = run_epochs(step8, mesh8, jax.tree.map(jnp.copy, params0),
+                        optimizer.init(params0), range(2))
+    save_sharded_train_state(ckpt, {"params": p2, "opt_state": s2},
+                             meta={"epoch": 2})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        st, meta = load_sharded_train_state(
+            ckpt, {"params": p2, "opt_state": s2},
+            sharding=replicated(mesh8))
+    assert not [x for x in w if "Sharding info not provided" in str(x.message)]
+    assert meta["epoch"] == 2
+    p_res, s_res = run_epochs(step8, mesh8, st["params"], st["opt_state"],
+                              range(2, 3))
+    for k, want in jax.tree.leaves_with_path(p_all):
+        got = {tuple(str(x) for x in kk): v
+               for kk, v in jax.tree.leaves_with_path(p_res)}[
+                   tuple(str(x) for x in k)]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"param {k} not bitwise")
+
+    # cross-topology: the 8-device checkpoint restores onto 4 devices and
+    # trains on; param values identical at restore, trajectory within the
+    # collective-reorder tolerance of the epoch-parity test above
+    mesh4 = Mesh(np.asarray(jax.devices()[:4]), ("inst",))
+    step4, _ = make_instance_sharded_train_step(mesh4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        st4, meta4 = load_sharded_train_state(
+            ckpt, {"params": p2, "opt_state": s2},
+            sharding=replicated(mesh4))
+    assert not [x for x in w if "Sharding info not provided" in str(x.message)]
+    for k, want in jax.tree.leaves_with_path(p2):
+        got = {tuple(str(x) for x in kk): v
+               for kk, v in jax.tree.leaves_with_path(st4["params"])}[
+                   tuple(str(x) for x in k)]
+        assert sorted(d.id for d in got.devices()) == \
+            sorted(d.id for d in jax.devices()[:4])
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    p4, s4 = run_epochs(step4, mesh4, st4["params"], st4["opt_state"],
+                        range(2, 3))
+    for k, want in jax.tree.leaves_with_path(p_all):
+        got = {tuple(str(x) for x in kk): v
+               for kk, v in jax.tree.leaves_with_path(p4)}[
+                   tuple(str(x) for x in k)]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"param {k} diverged on 4-dev")

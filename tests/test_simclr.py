@@ -431,20 +431,20 @@ def test_simclr_resume_matches_uninterrupted(tmp_path, rng):
     calls = {"n": 0}
     import tpumil.io.native_ckpt as nc
 
-    orig = nc.save_train_state
+    orig = nc.save_sharded_train_state
 
-    def bomb(path, params, opt_state, *, epoch, extra=None):
-        orig(path, params, opt_state, epoch=epoch, extra=extra)
+    def bomb(path, arrays, *, meta=None):
+        orig(path, arrays, meta=meta)
         calls["n"] += 1
         if calls["n"] == 2:
             raise KeyboardInterrupt  # crash right after epoch 2's save
 
-    nc.save_train_state = bomb
+    nc.save_sharded_train_state = bomb
     try:
         with pytest.raises(KeyboardInterrupt):
             tr.fit(paths, run_b, log=lambda s: None)
     finally:
-        nc.save_train_state = orig
+        nc.save_sharded_train_state = orig
 
     logs = []
     resumed = SimCLRTrainer(model_cfg, cfg4).fit(
@@ -463,6 +463,68 @@ def test_simclr_resume_matches_uninterrupted(tmp_path, rng):
     logs2 = []
     other.fit(paths, run_b, log=logs2.append, resume=True)
     assert any("different" in l for l in logs2)
+
+
+def test_simclr_mid_epoch_step_resume_exact(tmp_path, rng):
+    """Step-level crash resume (VERDICT r3 item 6): crash MID-epoch between
+    optimizer steps; --resume must continue the exact uninterrupted
+    trajectory — Adam moments, per-image augmentation keys, and the shuffled
+    data order all restored from the sharded step checkpoint
+    (save_every_n_steps + io/native_ckpt.save_sharded_train_state)."""
+    import dataclasses as dc
+
+    from PIL import Image
+
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    paths = []
+    for i in range(20):
+        arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"p{i}.jpeg")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+
+    model_cfg = SimCLRConfig(compute_dtype=jnp.float32)
+    cfg = SimCLRTrainConfig(batch_size=4, epochs=2, input_size=48,
+                            num_workers=2, lr=1e-4, log_every_n_steps=100,
+                            save_every_n_steps=1)
+    straight = SimCLRTrainer(model_cfg, cfg).fit(
+        paths, str(tmp_path / "a"), log=lambda s: None)
+
+    run_b = str(tmp_path / "b")
+    import tpumil.io.native_ckpt as nc
+
+    calls = {"n": 0}
+    orig = nc.save_sharded_train_state
+
+    def bomb(path, arrays, *, meta=None):
+        orig(path, arrays, meta=meta)
+        calls["n"] += 1
+        if calls["n"] == 2:  # epoch 0, after step 2 of 4 — mid-epoch
+            raise KeyboardInterrupt
+
+    nc.save_sharded_train_state = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            SimCLRTrainer(model_cfg, cfg).fit(paths, run_b,
+                                              log=lambda s: None)
+    finally:
+        nc.save_sharded_train_state = orig
+
+    logs = []
+    resumed = SimCLRTrainer(model_cfg, cfg).fit(
+        paths, run_b, log=logs.append, resume=True)
+    assert any("Resuming SimCLR pretraining at epoch 0 step 2" in l
+               for l in logs)
+    # bitwise: identical jit programs replay identical steps on the
+    # restored state (CPU test mesh; float32)
+    for k in ("conv1.weight", "layer4.1.conv2.weight"):
+        np.testing.assert_array_equal(
+            np.asarray(resumed["params"]["backbone"][k]),
+            np.asarray(straight["params"]["backbone"][k]))
+    np.testing.assert_array_equal(
+        np.asarray(resumed["params"]["l2"]["w"]),
+        np.asarray(straight["params"]["l2"]["w"]))
 
 
 def test_grad_cache_step_matches_monolithic(rng):

@@ -51,6 +51,35 @@ def test_orbax_roundtrip(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
 
+def test_sharded_roundtrip_single_device_no_warning(tmp_path):
+    """The sharded-state API (io/native_ckpt.py) must restore WITHOUT
+    orbax's 'Sharding info not provided ... unsafe on a different topology'
+    warning, including in the plain single-device case (multi-device
+    coverage: tests/test_parallel.py)."""
+    import warnings
+
+    from tpumil.io.native_ckpt import (load_sharded_train_state,
+                                       save_sharded_train_state)
+    from tpumil.models import dsmil
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.train.optim import adam_torch
+
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = adam_torch().init(params)
+    path = str(tmp_path / "ckpt")
+    save_sharded_train_state(path, {"params": params, "opt_state": opt_state},
+                             meta={"epoch": 7, "note": "x"})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        st, meta = load_sharded_train_state(
+            path, {"params": params, "opt_state": opt_state})
+    assert not [x for x in w if "Sharding info not provided" in str(x.message)]
+    assert meta == {"epoch": 7, "note": "x"}
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(st["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_multi_label_roc_single_class_auc_is_one():
     """Reference quirk: AUC := 1 when a fold's test split has one class
     (train_tcga.py:150-158)."""

@@ -10,4 +10,9 @@
   python -m tpumil.cli.testing_c16    <->  testing_c16.py
   python -m tpumil.cli.crop_single    <->  test_crop_single.py
   python -m tpumil.cli.download       <->  download.py
+
+tpumil additions with no reference counterpart:
+
+  python -m tpumil.cli.pipeline       — 5-stage end-to-end driver (YAML config)
+  python -m tpumil.cli.slide_feats    — streaming slide->features (no JPEG round trip)
 """

@@ -47,3 +47,62 @@ def save_train_state(path: str, params: Any, opt_state: Any, *, epoch: int,
 
 def load_train_state(path: str) -> dict:
     return load_pytree(path)
+
+
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) train state
+# ---------------------------------------------------------------------------
+# The plain PyTreeCheckpointer path above restores without sharding info —
+# fine single-chip, but on a mesh it warns "unsafe when restoring on a
+# different topology" and pins arrays to the saving topology. The API below
+# records each array's global shape at save and REBUILDS the arrays under an
+# explicit sharding at restore, so a checkpoint written on an 8-device mesh
+# restores onto 4 devices (or one chip) and vice versa. The reference has no
+# training resume at all (SURVEY.md section 5); this is tpumil's multi-chip
+# crash-recovery story, exercised in tests/test_parallel.py and
+# __graft_entry__.dryrun_multichip.
+
+
+def save_sharded_train_state(path: str, arrays: Any, *,
+                             meta: Optional[dict] = None) -> None:
+    """Save a pytree of (possibly mesh-sharded) jax.Arrays / numpy arrays
+    plus a small JSON-able ``meta`` dict (epoch counters, RNG descriptions —
+    StandardCheckpointer itself rejects strings)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ck:
+        ck.save(path, args=ocp.args.Composite(
+            state=ocp.args.StandardSave(arrays),
+            meta=ocp.args.JsonSave(meta or {})), force=True)
+
+
+def load_sharded_train_state(path: str, like: Any, sharding=None):
+    """Restore ``(arrays, meta)`` saved by :func:`save_sharded_train_state`.
+
+    ``like`` is a pytree matching the saved structure whose leaves give
+    shape/dtype (concrete arrays or ``jax.ShapeDtypeStruct``). Every jax
+    leaf is restored under ``sharding`` when given (e.g. replicated over the
+    CURRENT mesh — which may have a different device count than the saving
+    mesh); numpy leaves restore as numpy. ``sharding`` may also be a
+    callable ``leaf -> Sharding`` for mixed layouts."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+
+    default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def abstr(x):
+        if isinstance(x, np.ndarray):
+            return x  # numpy leaves stay host-side
+        s = (sharding(x) if callable(sharding) else sharding) or default
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=s)
+
+    abstract = jax.tree.map(abstr, like)
+    with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ck:
+        r = ck.restore(path, args=ocp.args.Composite(
+            state=ocp.args.StandardRestore(abstract),
+            meta=ocp.args.JsonRestore()))
+    return r["state"], dict(r["meta"] or {})

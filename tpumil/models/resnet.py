@@ -22,6 +22,7 @@ TPU-native design decisions:
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -333,13 +334,11 @@ def to_oihw(v: np.ndarray) -> np.ndarray:
 
 
 def export_state_dict(backbone_params: Dict, cfg: ResNetConfig,
-                      prefix: str = "") -> "collections.OrderedDict":
+                      prefix: str = "") -> OrderedDict:
     """Backbone tensors in torchvision name order (convs as OIHW), each key
     prefixed — the single source of the export layout every surgered
     checkpoint format builds on (embedder.pth, SimCLR model.pth)."""
-    import collections
-
-    sd = collections.OrderedDict()
+    sd = OrderedDict()
     conv_names = {name for name, _, _ in conv_specs(cfg)}
     for name in param_names(cfg):
         v = np.asarray(backbone_params[name], np.float32)

@@ -367,10 +367,19 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
 
 def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
                                  log: Callable[[str], None] = print,
-                                 save_dir: Optional[str] = None) -> dict:
+                                 save_dir: Optional[str] = None,
+                                 permutation: Optional[Sequence[int]] = None,
+                                 ) -> dict:
     """train_tcga.py:350-429: reserve a ``split`` fraction for standalone
     testing, 5-fold CV on the rest, then a 5-model majority vote (per-fold
-    optimal thresholds) on the holdout."""
+    optimal thresholds) on the holdout.
+
+    ``permutation`` overrides the holdout/rest shuffle (train_tcga.py:352's
+    ``shuffle(bags_path)``): holdout = first ``split`` fraction of the
+    permuted order, rest = the remainder in permuted order. Passing the
+    reference's recorded shuffle makes holdout AND fold membership
+    bit-identical to a reference run on the same cohort
+    (tests/test_reference_e2e.py)."""
     from scipy.stats import mode
 
     trainer = _make_trainer(cfg)
@@ -381,7 +390,12 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
         # auto giant-bag dispatch must count it (train/trainer.py
         # extra_resident_bytes)
         trainer.extra_resident_bytes = store.nbytes()
-    order = rng.permutation(len(bags))
+    if permutation is not None:
+        order = np.asarray(permutation, dtype=np.int64)
+        if sorted(order.tolist()) != list(range(len(bags))):
+            raise ValueError("permutation must be a permutation of range(n_bags)")
+    else:
+        order = rng.permutation(len(bags))
     n_hold = int(cfg.split * len(bags))
     holdout = [bags[i] for i in order[:n_hold]]
     rest_idx = order[n_hold:]

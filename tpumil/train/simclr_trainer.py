@@ -64,6 +64,14 @@ class SimCLRTrainConfig:
     # monolithic step's (tests/test_simclr.py pins it) — this is what runs
     # the reference's batch_size 4096 (simclr/config.yaml:1) on one chip.
     grad_cache_microbatch: Optional[int] = None
+    # ALSO save crash-resume state every N train steps (epoch-end saves
+    # always happen). Mid-epoch saves record the in-epoch step and RNG key,
+    # so --resume continues the exact uninterrupted trajectory from the last
+    # step boundary — optimizer moments, data order, and augmentation keys
+    # included (tests/test_simclr.py pins bitwise continuation). None =
+    # epoch-granularity only. Not part of the resume fingerprint: the
+    # cadence may change between runs of the same experiment.
+    save_every_n_steps: Optional[int] = None
 
 
 class SimCLRTrainer:
@@ -283,31 +291,54 @@ class SimCLRTrainer:
         best_valid = float("inf")
         base_key = jax.random.PRNGKey(cfg.seed + 1)
         start_epoch = 0
+        start_batch = 0
+        resume_key = None
         history = {"train_loss": [], "valid_loss": []}
         if resume and os.path.isdir(state_dir):
-            raw = native_ckpt.load_train_state(state_dir)
-            if raw.get("extra", {}).get("fingerprint") == self._fingerprint():
-                # re-restore against the live pytree template so optax's
-                # namedtuple state comes back typed (a raw orbax restore
-                # yields plain dicts)
-                st = native_ckpt.load_pytree(
+            # sharded-aware restore (io/native_ckpt.py): the state may have
+            # been written from a dp mesh of any size; arrays come back
+            # replicated over THIS trainer's mesh (or single-device)
+            sh = None
+            if self.mesh is not None:
+                from tpumil.parallel.mesh import replicated
+
+                sh = replicated(self.mesh)
+            try:
+                st, meta = native_ckpt.load_sharded_train_state(
                     state_dir,
-                    target={"params": params, "opt_state": opt_state,
-                            "epoch": 0,
-                            "extra": {"fingerprint": "", "best_valid": 0.0}})
-                params = jax.tree.map(jnp.asarray, st["params"])
-                opt_state = jax.tree.map(
-                    lambda x: jnp.asarray(x) if hasattr(x, "dtype") else x,
-                    st["opt_state"])
-                start_epoch = int(st["epoch"])
-                best_valid = float(st["extra"]["best_valid"])
-                log(f"Resuming SimCLR pretraining at epoch {start_epoch} "
-                    f"(best valid {best_valid:.4f}).")
+                    {"params": params, "opt_state": opt_state,
+                     "key": base_key}, sh)
+            except Exception as e:  # unreadable/foreign state: fresh start
+                st, meta = None, {"fingerprint": f"<unreadable: {e}>"}
+            if st is not None and \
+                    meta.get("fingerprint") == self._fingerprint():
+                params, opt_state = st["params"], st["opt_state"]
+                start_epoch = int(meta["epoch"])
+                start_batch = int(meta.get("step_in_epoch", 0))
+                if start_batch:
+                    resume_key = st["key"]
+                best_valid = float(meta["best_valid"])
+                log(f"Resuming SimCLR pretraining at epoch {start_epoch}"
+                    + (f" step {start_batch}" if start_batch else "")
+                    + f" (best valid {best_valid:.4f}).")
             else:
                 log("Existing train state was produced by a different "
                     "config; training from scratch.")
         n_batches_per_epoch = len(train_paths) // cfg.batch_size
-        n_iter = start_epoch * n_batches_per_epoch
+        n_iter = start_epoch * n_batches_per_epoch + start_batch
+
+        def save_state(epoch, step_in_epoch, key):
+            # crash-resume state via the sharded checkpoint API: restores
+            # onto any topology (8-device dp state onto 4 devices or one
+            # chip, tests/test_parallel.py)
+            native_ckpt.save_sharded_train_state(
+                state_dir,
+                {"params": params, "opt_state": opt_state, "key": key},
+                meta={"fingerprint": self._fingerprint(),
+                      "best_valid": float(best_valid),
+                      "epoch": int(epoch),
+                      "step_in_epoch": int(step_in_epoch),
+                      "n_iter": int(n_iter)})
 
         for epoch in range(start_epoch, cfg.epochs):
             lr = self.lr_at(epoch)
@@ -319,9 +350,15 @@ class SimCLRTrainer:
             epoch_paths = [train_paths[i] for i in order]
             # drop_last=True like the reference loader (dataset_wrapper.py:73)
             n_batches = len(epoch_paths) // cfg.batch_size
-            loader = PatchBatchLoader(epoch_paths[:n_batches * cfg.batch_size],
-                                      cfg.batch_size, cfg.input_size,
-                                      cfg.num_workers)
+            # mid-epoch resume: skip the already-trained leading batches and
+            # take over the key exactly where the saved step left it
+            skip = start_batch if epoch == start_epoch else 0
+            if resume_key is not None and skip:
+                key = jnp.asarray(resume_key)
+            step_in_epoch = skip
+            loader = PatchBatchLoader(
+                epoch_paths[skip * cfg.batch_size:n_batches * cfg.batch_size],
+                cfg.batch_size, cfg.input_size, cfg.num_workers)
             t0 = time.perf_counter()
             for images, n_valid, _ in loader:
                 key, sub = jax.random.split(key)
@@ -335,9 +372,15 @@ class SimCLRTrainer:
                     history["train_loss"].append(float(loss))
                     scalars.log("train_loss", float(loss), n_iter)
                 n_iter += 1
+                step_in_epoch += 1
+                if (cfg.save_every_n_steps
+                        and step_in_epoch < n_batches
+                        and step_in_epoch % cfg.save_every_n_steps == 0):
+                    save_state(epoch, step_in_epoch, key)
             dt = time.perf_counter() - t0
-            if n_batches:
-                log(f"epoch {epoch}: {n_batches * cfg.batch_size / dt:.0f} "
+            if n_batches - skip:
+                log(f"epoch {epoch}: "
+                    f"{(n_batches - skip) * cfg.batch_size / dt:.0f} "
                     f"patches/sec (2 views each)")
 
             if epoch % cfg.eval_every_n_epochs == 0 and valid_paths:
@@ -373,14 +416,7 @@ class SimCLRTrainer:
             scalars.log("cosine_lr_decay", lr, n_iter)
             # crash-resume state: params + Adam moments + counters, every
             # epoch (~1-2s of orbax I/O vs minutes-to-hours of pretraining)
-            native_ckpt.save_train_state(
-                state_dir, jax.tree.map(np.asarray, params),
-                jax.tree.map(
-                    lambda x: np.asarray(x) if hasattr(x, "dtype") else x,
-                    opt_state),
-                epoch=epoch + 1,
-                extra={"fingerprint": self._fingerprint(),
-                       "best_valid": float(best_valid)})
+            save_state(epoch + 1, 0, key)
         scalars.close()
         ckpt_path = os.path.join(ckpt_dir, "model.pth")
         if not os.path.exists(ckpt_path):
