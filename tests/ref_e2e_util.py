@@ -129,6 +129,58 @@ def parse_reference_output(out: str) -> dict:
     return res
 
 
+def run_reference_mil(workdir: str, src_svm: str, *, num_epoch: int,
+                      cv_fold: int = 10, seed: int = 0,
+                      timeout_s: float = 3600.0) -> dict:
+    """Run train_mil.py end-to-end (CPU) via tests/reference_mil_runner.py on
+    the given musk1-format file. Returns per-fold best accuracies, the CV
+    mean/std, and the recorded fold order as content signatures."""
+    env = dict(os.environ)
+    env["REF_SEED"] = str(seed)
+    env["TPUMIL_REFERENCE"] = REFERENCE
+    env["CUDA_VISIBLE_DEVICES"] = ""
+    runner = os.path.join(os.path.dirname(__file__), "reference_mil_runner.py")
+    argv = [sys.executable, runner, "--src", src_svm,
+            "--num_epoch", str(num_epoch), "--cv_fold", str(cv_fold)]
+    r = subprocess.run(argv, cwd=workdir, env=env, capture_output=True,
+                       text=True, timeout=timeout_s)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"reference train_mil failed rc={r.returncode}\n--- stdout tail "
+            f"---\n{r.stdout[-2000:]}\n--- stderr tail ---\n{r.stderr[-2000:]}")
+    res = {
+        "fold_accs": [float(a) for a in
+                      re.findall(r"Optimal accuracy: ([0-9.]+)", r.stdout)],
+        "stdout": r.stdout,
+    }
+    m = re.search(r"Cross validation accuracy mean: ([0-9.]+), std ([0-9.]+)",
+                  r.stdout)
+    res["mean"], res["std"] = float(m.group(1)), float(m.group(2))
+    m = re.search(r"REF_MIL_ORDER:(\[.*\])", r.stdout)
+    res["order_sigs"] = json.loads(m.group(1)) if m else None
+    return res
+
+
+def mil_order_to_permutation(bags, order_sigs):
+    """Map the reference runner's content signatures (raw label ±1,
+    n_instances, first feature rounded to 6 decimals) back to indices into
+    ``bags`` (tpumil's parse of the same file, clipped 0/1 labels)."""
+    perm = []
+    used = set()
+    for raw_label, n_inst, feat0 in order_sigs:
+        want_label = 1.0 if raw_label > 0 else 0.0
+        cands = [
+            (abs(float(b.feats[0, 0]) - feat0), i)
+            for i, b in enumerate(bags)
+            if i not in used and float(b.label[0]) == want_label
+            and b.feats.shape[0] == n_inst]
+        d, i = min(cands)
+        assert d < 1e-5, f"ambiguous signature match (d={d})"
+        used.add(i)
+        perm.append(i)
+    return perm
+
+
 def load_bags_in_order(master_csv: str, bag_order, num_classes: int):
     """Load the cohort's bags as tpumil Bag objects in the REFERENCE's
     temp_train glob order, so KFold(5, shuffle, 42) produces bit-identical

@@ -235,3 +235,35 @@ def test_reference_e2e_attention_heatmap(tmp_path):
     ref_arr = np.asarray([ref_by_pos[k] for k in sorted(ref_by_pos)])
     got_arr = np.asarray([got_by_pos[k] for k in sorted(got_by_pos)])
     np.testing.assert_allclose(got_arr, ref_arr, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# train_mil.py head-to-head (classic MIL benchmark, vendored fixture)
+# ---------------------------------------------------------------------------
+
+def test_reference_e2e_mil_bench(tmp_path):
+    """The reference's train_mil.py main() end-to-end on the vendored
+    musk1-format fixture vs run_mil_cv on IDENTICAL fold membership (the
+    reference's recorded bag shuffle replayed via `permutation`, torch
+    default init on both sides). Per-fold best accuracies quantize at 1/3
+    (3-bag test folds); the CV mean must agree to one bag-vote overall."""
+    from tpumil.data.mil_bench import parse_mil_file
+    from tpumil.train.schemes import MILBenchConfig, run_mil_cv
+
+    src = os.path.join(os.path.dirname(__file__), "data", "musk1_mini.svm")
+    ref = R.run_reference_mil(str(tmp_path), src, num_epoch=40, cv_fold=10,
+                              seed=0)
+    assert len(ref["fold_accs"]) == 10 and ref["order_sigs"] is not None
+
+    bags = parse_mil_file(src, num_feats=166)
+    perm = R.mil_order_to_permutation(bags, ref["order_sigs"])
+    cfg = MILBenchConfig(num_feats=166, num_epochs=40, cv_fold=10, seed=0,
+                         verbose=False, init="torch_default")
+    mean, std, accs = run_mil_cv(bags, cfg, log=lambda s: None,
+                                 permutation=perm)
+
+    # both sides learned (the fixture plants a real musk1-like signal) and
+    # agree within one 3-bag fold vote on the 30-bag mean
+    assert ref["mean"] >= 0.75 and mean >= 0.75
+    assert abs(mean - ref["mean"]) <= 1.0 / 30 * 2 + 1e-9, \
+        (mean, ref["mean"], accs, ref["fold_accs"])

@@ -219,3 +219,76 @@ def test_resumed_fold_matches_uninterrupted_run(tmp_path, rng):
                                    full["folds"][k]["aucs"], atol=1e-6)
         np.testing.assert_allclose(resumed["folds"][k]["thresholds"],
                                    full["folds"][k]["thresholds"], atol=1e-6)
+
+
+def test_mid_fold_state_resume_exact(tmp_path, rng):
+    """Mid-fold crash resume (WSITrainConfig.fold_state_every): crash
+    between epochs INSIDE a fold; the resumed run must continue the exact
+    uninterrupted trajectory — params, Adam moments, best-so-far, and the
+    per-fold host RNG (dropout/shuffle streams) all restored from the
+    sharded state checkpoint."""
+    import jax
+
+    import tpumil.io.native_ckpt as nc
+    from tpumil.train.schemes import train_fold, _cfg_fingerprint
+
+    bags = make_separable_bags(rng, num_bags=12, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    cfg = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=6, lr=1e-3,
+                         stop_epochs=6, verbose=False, seed=0, resume=True,
+                         dropout_patch=0.3,  # rng-driven path must restore too
+                         fold_state_every=1)
+    from tpumil.train.schemes import _make_trainer
+
+    trainer = _make_trainer(cfg)
+    tr, te = bags[:9], bags[9:]
+    fp = _cfg_fingerprint(cfg, "5-fold-cv")
+    key = jax.random.PRNGKey(1)
+
+    straight = train_fold(trainer, tr, te, cfg, np.random.default_rng(3),
+                          key, log=lambda s: None,
+                          state_dir=str(tmp_path / "s1"), state_fp=fp)
+
+    # crash after the 3rd epoch-boundary state save
+    calls = {"n": 0}
+    orig = nc.save_sharded_train_state
+
+    def bomb(path, arrays, *, meta=None):
+        orig(path, arrays, meta=meta)
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise KeyboardInterrupt
+
+    nc.save_sharded_train_state = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            train_fold(trainer, tr, te, cfg, np.random.default_rng(3), key,
+                       log=lambda s: None, state_dir=str(tmp_path / "s2"),
+                       state_fp=fp)
+    finally:
+        nc.save_sharded_train_state = orig
+
+    logs = []
+    resumed = train_fold(trainer, tr, te, cfg, np.random.default_rng(3), key,
+                         log=logs.append, state_dir=str(tmp_path / "s2"),
+                         state_fp=fp)
+    assert any("Resuming fold mid-run at epoch 4" in l for l in logs)
+    assert resumed["acc"] == straight["acc"]
+    assert resumed["thresholds"] == straight["thresholds"]
+    for k, want in jax.tree.leaves_with_path(straight["params"]):
+        got = {tuple(str(x) for x in kk): v
+               for kk, v in jax.tree.leaves_with_path(resumed["params"])}[
+                   tuple(str(x) for x in k)]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"param {k} not bitwise")
+    # completed fold cleans its state dir (no stale shadow for reruns)
+    assert not os.path.isdir(str(tmp_path / "s2"))
+
+    # a foreign fingerprint must NOT be adopted
+    orig(str(tmp_path / "s3"), {"params": {}, "opt_state": {},
+                                "best_params": {}},
+         meta={"fingerprint": "other"})
+    logs2 = []
+    train_fold(trainer, tr, te, cfg, np.random.default_rng(3), key,
+               log=logs2.append, state_dir=str(tmp_path / "s3"), state_fp=fp)
+    assert any("different config" in l for l in logs2)

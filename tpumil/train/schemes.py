@@ -51,7 +51,9 @@ class MILBenchConfig:
 
 def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
                log: Callable[[str], None] = print,
-               model: Optional[str] = None) -> Tuple[float, float, List[float]]:
+               model: Optional[str] = None,
+               permutation: Optional[Sequence[int]] = None,
+               ) -> Tuple[float, float, List[float]]:
     """k-fold CV on a classic MIL dataset. Per fold: fresh model, Adam with
     pos_weight'd BCE, cosine LR to 0, track the best epoch accuracy
     (train_mil.py:164-187). Returns (mean_acc, std_acc, per_fold_accs).
@@ -59,9 +61,20 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
     Note: the reference re-shuffles each bag's instance rows every epoch
     (train_mil.py:46); DSMIL is permutation-invariant over instances so this
     is a mathematical no-op and is omitted here.
-    """
+
+    ``permutation`` replaces the internal class-coverage shuffle with an
+    explicit bag order (train_mil.py:150-163 semantics: the chunked folds
+    are slices of this order). Passing the reference's recorded shuffle —
+    which already satisfied its class-coverage retry loop — makes fold
+    membership bit-identical to a reference run on the same file
+    (tests/test_reference_e2e.py)."""
     rng = np.random.default_rng(cfg.seed)
-    bags = shuffle_with_class_coverage(list(bags), cfg.cv_fold, rng)
+    if permutation is not None:
+        if sorted(permutation) != list(range(len(bags))):
+            raise ValueError("permutation must be a permutation of range(n_bags)")
+        bags = [bags[i] for i in permutation]
+    else:
+        bags = shuffle_with_class_coverage(list(bags), cfg.cv_fold, rng)
     lr_of = cosine_annealing_lr(cfg.lr, cfg.num_epochs, 0.0)
     # ship the dataset to device once; folds are device-side gathers
     global_store = _global_store(bags, cfg)
@@ -155,6 +168,13 @@ class WSITrainConfig:
     # Skip folds whose completion marker exists in save_dir (crash recovery;
     # the reference has no resume at all, SURVEY.md section 5).
     resume: bool = False
+    # ALSO checkpoint the full in-fold train state (params, Adam moments,
+    # best-so-far, host RNG) every N eval boundaries via the sharded
+    # checkpoint API (io/native_ckpt.py), so a crash MID-fold resumes at the
+    # last boundary instead of retraining the fold — exact continuation,
+    # pinned bitwise in tests/test_wsi_schemes.py. None = fold-granularity
+    # resume only (markers). Requires save_dir + resume=True to take effect.
+    fold_state_every: Optional[int] = None
 
 
 def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
@@ -213,10 +233,19 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
                test_bags: Sequence[Bag], cfg: WSITrainConfig,
                rng: np.random.Generator, init_key,
                log: Callable[[str], None] = print,
-               save_cb: Optional[Callable] = None):
+               save_cb: Optional[Callable] = None,
+               state_dir: Optional[str] = None,
+               state_fp: Optional[str] = None):
     """One fold: train with early stopping on the reference's selection
     criterion ``(sum(aucs) + acc) / 2`` (train_tcga.py:272-287). Returns
-    (best_params, best_thresholds, best_acc, best_aucs)."""
+    (best_params, best_thresholds, best_acc, best_aucs).
+
+    ``state_dir`` (with ``cfg.fold_state_every``) enables MID-fold crash
+    resume: the full train state — params, Adam moments, best-so-far, the
+    host RNG bit-generator state — is checkpointed every N eval boundaries
+    (sharded API, io/native_ckpt.py) and restored at fold start when
+    ``cfg.resume``; the continuation is the exact uninterrupted trajectory.
+    ``state_fp`` guards against adopting a different experiment's state."""
     from tpumil.data.device_store import DeviceBagStore
 
     if cfg.use_device_store:
@@ -234,8 +263,34 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
             "thresholds": [0.5] * cfg.num_classes, "acc": 0.0,
             "aucs": [0.0] * cfg.num_classes}
     counter = 0
-    fused = cfg.eval_interval > 1 and isinstance(train_bags, DeviceBagStore)
     epoch = 1
+    boundaries = 0
+    if state_dir and cfg.resume and os.path.isdir(state_dir):
+        from tpumil.io import native_ckpt
+
+        try:
+            st, meta = native_ckpt.load_sharded_train_state(
+                state_dir, {"params": params, "opt_state": opt_state,
+                            "best_params": params})
+        except Exception as e:  # unreadable/foreign state: fresh fold
+            st, meta = None, {"fingerprint": f"<unreadable: {e}>"}
+        if st is not None and meta.get("fingerprint") == state_fp:
+            params, opt_state = st["params"], st["opt_state"]
+            best = {"score": float(meta["best_score"]),
+                    "params": jax.tree.map(np.asarray, st["best_params"]),
+                    "thresholds": list(meta["best_thresholds"]),
+                    "acc": float(meta["best_acc"]),
+                    "aucs": list(meta["best_aucs"])}
+            counter = int(meta["counter"])
+            epoch = int(meta["epoch"])
+            boundaries = int(meta["boundaries"])
+            rng.bit_generator.state = meta["rng_state"]
+            log(f"Resuming fold mid-run at epoch {epoch} "
+                f"(best score {best['score']:.4f}).")
+        else:
+            log("Existing fold state was produced by a different config; "
+                "training the fold from scratch.")
+    fused = cfg.eval_interval > 1 and isinstance(train_bags, DeviceBagStore)
     while epoch <= cfg.num_epochs:
         k = min(cfg.eval_interval, cfg.num_epochs - epoch + 1) if fused else 1
         counter += k
@@ -262,8 +317,32 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
                     "acc": res["avg_score"], "aucs": res["aucs"]}
             if save_cb is not None:
                 save_cb(best["params"], best["thresholds"])
+        boundaries += 1
+        if (state_dir and cfg.fold_state_every
+                and boundaries % cfg.fold_state_every == 0
+                and epoch <= cfg.num_epochs and counter <= cfg.stop_epochs):
+            from tpumil.io import native_ckpt
+
+            native_ckpt.save_sharded_train_state(
+                state_dir,
+                {"params": params, "opt_state": opt_state,
+                 "best_params": best["params"]},
+                meta={"fingerprint": state_fp,
+                      "best_score": float(best["score"]),
+                      "best_thresholds": [float(t) for t in best["thresholds"]],
+                      "best_acc": float(best["acc"]),
+                      "best_aucs": [float(a) for a in best["aucs"]],
+                      "counter": int(counter), "epoch": int(epoch),
+                      "boundaries": int(boundaries),
+                      "rng_state": rng.bit_generator.state})
         if counter > cfg.stop_epochs:
             break
+    if state_dir:
+        # the fold is complete: its marker takes over; a stale mid-fold
+        # state must not shadow a rerun of a different experiment
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
     return best
 
 
@@ -308,7 +387,9 @@ def run_5fold_cv(bags: List[Bag], cfg: WSITrainConfig,
         # stream would desynchronize after any skipped fold)
         best = train_fold(trainer, tr, te, cfg,
                           np.random.default_rng([cfg.seed, fold]),
-                          jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
+                          jax.random.PRNGKey(cfg.seed + fold), log, save_cb,
+                          state_dir=_fold_state_dir(save_dir, fold),
+                          state_fp=_cfg_fingerprint(cfg, "5-fold-cv"))
         _mark_fold_done(save_dir, fold, best, "5-fold-cv", cfg)
         fold_results.append(best)
     mean_ac = float(np.mean([b["acc"] for b in fold_results]))
@@ -351,7 +432,10 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
             test_bags = [bags[i] for i in order[val_end:]]
         save_cb = _fold_saver(save_dir, it, cfg.model) if save_dir else None
         best = train_fold(trainer, train_bags, val_bags, cfg, rng,
-                          jax.random.PRNGKey(cfg.seed + it), log, save_cb)
+                          jax.random.PRNGKey(cfg.seed + it), log, save_cb,
+                          state_dir=_fold_state_dir(save_dir, it),
+                          state_fp=_cfg_fingerprint(
+                              cfg, "5-time-train+valid+test"))
         test_res = evaluate_bags(trainer, best["params"], test_bags, cfg,
                                  thresholds=best["thresholds"], rng=rng)
         results.append({"val_acc": best["acc"], "val_aucs": best["aucs"],
@@ -412,7 +496,9 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
             tr, te = _fold_views(store, bags, rest_idx[tr_idx], rest_idx[te_idx])
             best = train_fold(trainer, tr, te, cfg,
                               np.random.default_rng([cfg.seed, fold]),
-                              jax.random.PRNGKey(cfg.seed + fold), log, save_cb)
+                              jax.random.PRNGKey(cfg.seed + fold), log, save_cb,
+                              state_dir=_fold_state_dir(save_dir, fold),
+                              state_fp=_cfg_fingerprint(cfg, scheme))
             _mark_fold_done(save_dir, fold, best, scheme, cfg)
         else:
             best = resumed
@@ -458,6 +544,12 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
 
 def _fold_marker(save_dir: str, fold: int) -> str:
     return os.path.join(save_dir, f"fold_{fold}.done.json")
+
+
+def _fold_state_dir(save_dir: Optional[str], fold: int) -> Optional[str]:
+    """Mid-fold train-state checkpoint location (see WSITrainConfig.
+    fold_state_every)."""
+    return os.path.join(save_dir, f"fold_{fold}_state") if save_dir else None
 
 
 def _cfg_fingerprint(cfg: WSITrainConfig, scheme: str) -> str:
