@@ -292,3 +292,31 @@ def test_mid_fold_state_resume_exact(tmp_path, rng):
     train_fold(trainer, tr, te, cfg, np.random.default_rng(3), key,
                log=logs2.append, state_dir=str(tmp_path / "s3"), state_fp=fp)
     assert any("different config" in l for l in logs2)
+
+
+def test_5time_tvt_resume_matches_uninterrupted(tmp_path, rng):
+    """run_5time_tvt iteration resume: per-iteration (seed, it) RNG streams
+    mean a run that adopts iterations 0-2 from markers retrains 3-4 to the
+    SAME results as the uninterrupted run."""
+    from tpumil.train.schemes import run_5time_tvt
+
+    bags = make_separable_bags(rng, num_bags=20, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    cfg = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=3, lr=1e-3,
+                         stop_epochs=2, verbose=False, seed=0, resume=True,
+                         dropout_patch=0.3)  # rng-driven path
+    full = run_5time_tvt(bags, cfg, log=lambda s: None,
+                         save_dir=str(tmp_path / "a"))
+    save_b = str(tmp_path / "b")
+    run_5time_tvt(bags, cfg, log=lambda s: None, save_dir=save_b)
+    for k in (3, 4):
+        os.remove(os.path.join(save_b, f"iter_{k}.done.json"))
+    logs = []
+    resumed = run_5time_tvt(bags, cfg, log=logs.append, save_dir=save_b)
+    assert sum("Resuming iteration" in l for l in logs) == 3
+    for k in range(5):
+        np.testing.assert_allclose(resumed["iterations"][k]["test_aucs"],
+                                   full["iterations"][k]["test_aucs"],
+                                   atol=1e-6)
+        assert resumed["iterations"][k]["test_acc"] == \
+            pytest.approx(full["iterations"][k]["test_acc"], abs=1e-6)

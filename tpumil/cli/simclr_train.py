@@ -51,6 +51,10 @@ def main(argv=None):
     parser.add_argument("--resume", action="store_true",
                         help="Continue an interrupted pretraining from the "
                              "orbax train state under <run_dir>/state")
+    parser.add_argument("--save_every_n_steps", type=int, default=0,
+                        help="Also save crash-resume state every N train "
+                             "steps (mid-epoch, exact continuation; 0 = "
+                             "epoch-granularity saves only)")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -90,6 +94,7 @@ def main(argv=None):
         num_workers=args.num_workers,
         seed=args.seed,
         grad_cache_microbatch=args.grad_cache or None,
+        save_every_n_steps=args.save_every_n_steps or None,
     )
 
     paths = generate_manifest(args.wsi_root, args.dataset, args.level, args.multiscale)

@@ -41,7 +41,13 @@ def main(argv=None):
                         help="Evaluate every N epochs; N>1 fuses N epochs "
                              "into one device dispatch [1]")
     parser.add_argument("--resume", action="store_true",
-                        help="Skip folds already completed in the save dir")
+                        help="Skip folds already completed in the save dir "
+                             "(and continue a crashed fold mid-run when "
+                             "--fold_state_every saved its train state)")
+    parser.add_argument("--fold_state_every", type=int, default=0,
+                        help="Checkpoint the full in-fold train state every "
+                             "N eval boundaries for exact mid-fold crash "
+                             "resume (0 = fold-granularity resume only)")
     parser.add_argument("--gpu_index", type=int, nargs="+", default=(0,),
                         help="Accepted for reference CLI compatibility "
                              "(train_tcga.py --gpu_index); device selection "
@@ -82,7 +88,7 @@ def main(argv=None):
         dropout_patch=args.dropout_patch, dropout_node=args.dropout_node,
         nonlinear=bool(args.non_linearity), average=args.average,
         seed=args.seed, model=args.model, eval_interval=args.eval_interval,
-        resume=args.resume)
+        resume=args.resume, fold_state_every=args.fold_state_every or None)
 
     save_dir = os.path.join(args.save_root, datetime.date.today().strftime("%Y%m%d"))
     if args.eval_scheme == "5-fold-cv":

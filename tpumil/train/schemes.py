@@ -408,9 +408,15 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
     """train_tcga.py:297-348: 5 random train/valid/test splits, model selected
     on valid. (The reference's final test call crashes on an argument-order
     bug at train_tcga.py:341; here the held-out test evaluation is performed
-    correctly with the fold's saved thresholds.)"""
+    correctly with the fold's saved thresholds.)
+
+    Resumable like the other two schemes: per-iteration RNG streams derived
+    from (seed, it) — so a resumed run's later iterations see the same
+    split/shuffle/dropout draws as an uninterrupted one — completed
+    iterations skip via ``iter_{k}.done.json`` markers, and a crashed
+    iteration continues mid-run when ``cfg.fold_state_every`` is set."""
+    scheme = "5-time-train+valid+test"
     trainer = _make_trainer(cfg)
-    rng = np.random.default_rng(cfg.seed)
     store = _global_store(bags, cfg)
     if store is not None:
         # the global store stays HBM-resident while fold SUBSETS train; the
@@ -419,7 +425,12 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
         trainer.extra_resident_bytes = store.nbytes()
     results = []
     for it in range(5):
+        resumed = _try_resume_iteration(cfg, save_dir, it, log, scheme)
+        if resumed is not None:
+            results.append(resumed)
+            continue
         log(f"Starting iteration {it + 1}.")
+        rng = np.random.default_rng([cfg.seed, it])
         order = rng.permutation(len(bags))
         n = len(bags)
         train_end = int(n * (1 - cfg.split - 0.1))
@@ -434,12 +445,14 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
         best = train_fold(trainer, train_bags, val_bags, cfg, rng,
                           jax.random.PRNGKey(cfg.seed + it), log, save_cb,
                           state_dir=_fold_state_dir(save_dir, it),
-                          state_fp=_cfg_fingerprint(
-                              cfg, "5-time-train+valid+test"))
+                          state_fp=_cfg_fingerprint(cfg, scheme))
         test_res = evaluate_bags(trainer, best["params"], test_bags, cfg,
                                  thresholds=best["thresholds"], rng=rng)
-        results.append({"val_acc": best["acc"], "val_aucs": best["aucs"],
-                        "test_acc": test_res["avg_score"], "test_aucs": test_res["aucs"]})
+        res = {"val_acc": best["acc"], "val_aucs": best["aucs"],
+               "test_acc": test_res["avg_score"],
+               "test_aucs": test_res["aucs"]}
+        _mark_iteration_done(save_dir, it, res, scheme, cfg)
+        results.append(res)
     mean_ac = float(np.mean([r["val_acc"] for r in results]))
     mean_auc = np.mean(np.array([r["val_aucs"] for r in results]), axis=0)
     log(f"Final results: Mean Accuracy: {mean_ac}")
@@ -550,6 +563,37 @@ def _fold_state_dir(save_dir: Optional[str], fold: int) -> Optional[str]:
     """Mid-fold train-state checkpoint location (see WSITrainConfig.
     fold_state_every)."""
     return os.path.join(save_dir, f"fold_{fold}_state") if save_dir else None
+
+
+def _try_resume_iteration(cfg: WSITrainConfig, save_dir: Optional[str],
+                          it: int, log, scheme: str) -> Optional[dict]:
+    """5-time-tvt counterpart of _try_resume_fold: adopt a completed
+    iteration's val+test metrics if its marker matches this experiment."""
+    if not (cfg.resume and save_dir):
+        return None
+    marker = os.path.join(save_dir, f"iter_{it}.done.json")
+    if not os.path.exists(marker):
+        return None
+    with open(marker) as f:
+        meta = json.load(f)
+    if meta.pop("fingerprint", None) != _cfg_fingerprint(cfg, scheme):
+        log(f"iteration {it}: existing marker was produced by a different "
+            "config; retraining.")
+        return None
+    log(f"Resuming iteration {it} from its marker "
+        f"(test acc {meta['test_acc']:.4f}).")
+    return meta
+
+
+def _mark_iteration_done(save_dir: Optional[str], it: int, res: dict,
+                         scheme: str, cfg: WSITrainConfig) -> None:
+    if not save_dir:
+        return
+    os.makedirs(save_dir, exist_ok=True)
+    with open(os.path.join(save_dir, f"iter_{it}.done.json"), "w") as f:
+        json.dump({**{k: (list(map(float, v)) if isinstance(v, (list, tuple))
+                          else float(v)) for k, v in res.items()},
+                   "fingerprint": _cfg_fingerprint(cfg, scheme)}, f)
 
 
 def _cfg_fingerprint(cfg: WSITrainConfig, scheme: str) -> str:
