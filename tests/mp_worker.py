@@ -119,6 +119,57 @@ def _stage_feats(jax, rank, nproc):
     return [float(x) for x in np.asarray(row_sums)]
 
 
+def _stage_ckpt(jax, rank, nproc):
+    """Distributed checkpoint: train on the cross-process (data, inst) mesh,
+    then SAVE the sharded train state with every process participating
+    (orbax multihost write). The test process restores it AFTERWARDS on a
+    different, single-process topology and continues training — the
+    multi-host crash-recovery story end to end. Returns the losses plus a
+    params fingerprint the restore is checked against."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpumil.io.native_ckpt import save_sharded_train_state
+    from tpumil.models import dsmil
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.parallel.mesh import bag_batch_sharding, make_mesh, replicated
+    from tpumil.parallel.sharded_train import make_sharded_train_step
+
+    cfg = DSMILConfig(feats_size=64, num_classes=2)
+    mesh = make_mesh(2 * nproc)
+    step, optimizer = make_sharded_train_step(cfg, mesh)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.default_rng(0)
+    b, n = 8, 64
+    feats = rng.standard_normal((b, n, cfg.feats_size)).astype(np.float32)
+    mask = rng.random((b, n)) < 0.9
+    labels = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=b)]
+
+    fs, ms, ls = bag_batch_sharding(mesh)
+    local = slice(rank * b // nproc, (rank + 1) * b // nproc)
+    gf = jax.make_array_from_process_local_data(fs, feats[local])
+    gm = jax.make_array_from_process_local_data(ms, mask[local])
+    gl = jax.make_array_from_process_local_data(ls, labels[local])
+    params = jax.device_put(params, replicated(mesh))
+    opt_state = jax.device_put(opt_state, replicated(mesh))
+
+    losses = []
+    for _ in range(2):
+        params, opt_state, loss = step(params, opt_state, gf, gm, gl,
+                                       jnp.asarray(1e-3))
+        losses.append(float(loss))
+    save_sharded_train_state(
+        os.environ["MP_CKPT_DIR"],
+        {"params": params, "opt_state": opt_state},
+        meta={"step": 2})
+    # rank-independent fingerprint of the saved params (replicated arrays
+    # are fully addressable on every process)
+    fp = float(sum(float(jnp.sum(x)) for x in jax.tree.leaves(params)))
+    return losses + [fp]
+
+
 def main():
     rank = int(sys.argv[1])
     nproc = int(sys.argv[2])
@@ -137,7 +188,8 @@ def main():
     assert len(jax.local_devices()) == 2
 
     values = {"agg": _stage_agg, "simclr": _stage_simclr,
-              "feats": _stage_feats}[stage](jax, rank, nproc)
+              "feats": _stage_feats, "ckpt": _stage_ckpt}[stage](jax, rank,
+                                                                 nproc)
     print("LOSSES", rank, " ".join(f"{x:.8f}" for x in values), flush=True)
     jax.distributed.shutdown()
 

@@ -158,3 +158,84 @@ def test_two_process_distributed(stage):
     oracle = _ORACLES[stage]()
     np.testing.assert_allclose(losses[0], oracle, rtol=1e-5, atol=1e-6)
     assert all(np.isfinite(oracle))
+
+
+def test_distributed_checkpoint_restores_on_single_process(tmp_path):
+    """Multi-host crash recovery end to end: two processes train on the
+    cross-process (data, inst) mesh and SAVE the sharded train state (every
+    process participates in the orbax write); THIS process — a different,
+    single-process topology — restores it and takes the next step, which
+    must continue the single-process oracle's exact trajectory (its step-3
+    loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpumil.io.native_ckpt import load_sharded_train_state
+    from tpumil.models import dsmil
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.parallel.mesh import make_mesh, replicated
+    from tpumil.parallel.sharded_train import (device_put_batch,
+                                               make_sharded_train_step)
+
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    ckpt_dir = str(tmp_path / "dist_ckpt")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(worker)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env["MP_CKPT_DIR"] = ckpt_dir
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(r), "2", coord, "ckpt"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for r in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
+    vals = {}
+    for rc, out, err in outs:
+        for line in out.splitlines():
+            if line.startswith("LOSSES"):
+                _, rank, *v = line.split()
+                vals[int(rank)] = [float(x) for x in v]
+    assert set(vals) == {0, 1}, outs
+    np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)
+    *worker_losses, worker_fp = vals[0]
+
+    # restore on THIS process's 4-device mesh (different topology: one
+    # process instead of two)
+    cfg = DSMILConfig(feats_size=64, num_classes=2)
+    mesh = make_mesh(4)
+    step, optimizer = make_sharded_train_step(cfg, mesh)
+    params_t = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    st, meta = load_sharded_train_state(
+        ckpt_dir, {"params": params_t, "opt_state": optimizer.init(params_t)},
+        sharding=replicated(mesh))
+    assert meta["step"] == 2
+    fp = float(sum(float(jnp.sum(x)) for x in jax.tree.leaves(st["params"])))
+    np.testing.assert_allclose(fp, worker_fp, rtol=1e-6)
+
+    # the restored state's next step continues the single-process oracle's
+    # trajectory: its loss must be the oracle's step-3 loss
+    oracle = _single_process_oracle()
+    np.testing.assert_allclose(worker_losses, oracle[:2], rtol=1e-5)
+    rng = np.random.default_rng(0)
+    b, n = 8, 64
+    feats = rng.standard_normal((b, n, cfg.feats_size)).astype(np.float32)
+    mask = rng.random((b, n)) < 0.9
+    labels = np.eye(2, dtype=np.float32)[rng.integers(0, 2, size=b)]
+    gf, gm, gl = device_put_batch(mesh, feats, mask, labels)
+    _, _, loss3 = step(st["params"], st["opt_state"], gf, gm,
+                       jnp.asarray(gl), jnp.asarray(1e-3))
+    np.testing.assert_allclose(float(loss3), oracle[2], rtol=1e-5, atol=1e-6)
