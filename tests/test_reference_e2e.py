@@ -267,3 +267,106 @@ def test_reference_e2e_mil_bench(tmp_path):
     assert ref["mean"] >= 0.75 and mean >= 0.75
     assert abs(mean - ref["mean"]) <= 1.0 / 30 * 2 + 1e-9, \
         (mean, ref["mean"], accs, ref["fold_accs"])
+
+
+# ---------------------------------------------------------------------------
+# compute_feats head-to-head (compute_feats.py:128-263 vs cli/compute_feats)
+# ---------------------------------------------------------------------------
+
+def test_reference_e2e_compute_feats(tmp_path):
+    """Identical patch tree + identical SimCLR checkpoint: the reference's
+    torch feature-extraction main() and tpumil's cli/compute_feats must
+    produce equivalent per-bag feature CSVs (matched per patch-row; the
+    reference's loader order is glob-arbitrary) and the same master-CSV
+    label assignment."""
+    import glob as globmod
+
+    from tpumil.cli import compute_feats as cf_cli
+
+    rng = np.random.default_rng(8)
+    wsi = os.path.join(str(tmp_path), "WSI", "synfeats", "single")
+    for cls in ("aa", "bb"):
+        bag = os.path.join(wsi, cls, f"bag_{cls}")
+        os.makedirs(bag)
+        from PIL import Image
+
+        for r in range(3):
+            for c in range(2):
+                arr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(os.path.join(bag, f"{r}_{c}.jpg"),
+                                          quality=92)
+
+    # shared SimCLR-format checkpoint in the reference's expected location
+    import collections
+
+    import torch
+
+    from torch_resnet_oracle import TorchResNet
+
+    torch.manual_seed(4)
+    net = TorchResNet(18, torch.nn.InstanceNorm2d).eval()
+    sd = collections.OrderedDict(
+        (k, v) for k, v in net.state_dict().items() if not k.startswith("fc"))
+    sd["l1.weight"] = torch.zeros(512, 512)
+    sd["l1.bias"] = torch.zeros(512)
+    sd["l2.weight"] = torch.zeros(256, 512)
+    sd["l2.bias"] = torch.zeros(256)
+    ckpt = os.path.join(str(tmp_path), "simclr", "runs", "w0", "checkpoints")
+    os.makedirs(ckpt)
+    torch.save(sd, os.path.join(ckpt, "model.pth"))
+
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "reference_feats_runner.py"),
+         "--dataset", "synfeats", "--weights", "w0", "--num_classes", "2",
+         "--batch_size", "64", "--num_workers", "0"],
+        cwd=str(tmp_path), capture_output=True, text=True, timeout=600,
+        env={**os.environ, "CUDA_VISIBLE_DEVICES": "", "REF_SEED": "0"})
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    out = os.path.join(str(tmp_path), "tpu_datasets")
+    rc = cf_cli.main([
+        "--dataset", "synfeats", "--num_classes", "2", "--batch_size", "64",
+        "--num_workers", "2", "--patch_size", "64", "--device", "cpu",
+        "--weights", os.path.join(ckpt, "model.pth"),
+        "--wsi_root", os.path.join(str(tmp_path), "WSI"),
+        "--out_root", out])
+    assert not rc
+
+    for cls in ("aa", "bb"):
+        ref_csv = os.path.join(str(tmp_path), "datasets", "synfeats", cls,
+                               f"bag_{cls}.csv")
+        got_csv = os.path.join(out, "synfeats", cls, f"bag_{cls}.csv")
+        want = np.loadtxt(ref_csv, delimiter=",", skiprows=1, ndmin=2)
+        got = np.loadtxt(got_csv, delimiter=",", skiprows=1, ndmin=2)
+        assert want.shape == got.shape == (6, 512)
+        # the reference's row order is glob-arbitrary: match rows by
+        # nearest neighbor, require a perfect matching within tolerance
+        used = set()
+        for g in got:
+            d = np.abs(want - g).max(axis=1)
+            if used:
+                d[list(used)] = np.inf
+            j = int(np.argmin(d))
+            assert d[j] <= 2e-2, (float(d[j]), j)
+            used.add(j)
+        np.testing.assert_allclose(np.sort(got, axis=0),
+                                   np.sort(want, axis=0),
+                                   rtol=1e-2, atol=2e-2)
+
+    # master CSV: same bag -> label assignment (sorted class dirs)
+    def label_map(master):
+        import csv
+
+        m = {}
+        with open(master) as f:
+            rows = list(csv.reader(f))
+        for path, label in rows[1:]:
+            m[os.path.splitext(os.path.basename(path))[0]] = int(label)
+        return m
+
+    ref_master = os.path.join(str(tmp_path), "datasets", "synfeats",
+                              "synfeats.csv")
+    got_master = os.path.join(out, "synfeats", "synfeats.csv")
+    assert label_map(ref_master) == label_map(got_master) == \
+        {"bag_aa": 0, "bag_bb": 1}
