@@ -81,42 +81,22 @@ def _arm_watchdog(deadline_s: float) -> None:
 
 
 def _probe_backend(attempts: int = 3, timeout_s: float = 90.0) -> None:
-    """Bounded, retried JAX-backend liveness probe (in a subprocess).
+    """Bounded, retried JAX-backend liveness probe (shared helper in
+    tpumil/utils/platform.py). On final failure emits ONE structured JSON
+    error line and exits rc=2."""
+    from tpumil.utils.platform import probe_backend
 
-    Runs `import jax; devices; tiny matmul` in a child with a hard timeout so
-    a wedged TPU tunnel can never hang the bench process itself. On final
-    failure emits ONE structured JSON error line and exits rc=2.
-    """
-    import subprocess
-
-    # honor an explicit JAX_PLATFORMS in the child despite the axon site
-    # hook that overrides the env var (CLAUDE.md: forcing a platform needs
-    # BOTH the env var and the config update)
-    code = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
-            "p and jax.config.update('jax_platforms', p); "
-            "import jax.numpy as jnp; d = jax.devices(); "
-            "x = jnp.ones((8, 8)); s = float((x @ x).sum()); "
-            "print(d[0].platform, len(d), s)")
-    last = "unknown"
-    for i in range(1, attempts + 1):
-        _stage(f"backend probe {i}/{attempts} (timeout {timeout_s:.0f}s)")
-        try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True,
-                               timeout=timeout_s)
-        except subprocess.TimeoutExpired:
-            last = f"probe subprocess exceeded {timeout_s:.0f}s"
+    def log(msg: str) -> None:
+        if msg.startswith("probe failed"):
+            print(f"[bench] {msg}", file=sys.stderr, flush=True)
         else:
-            if r.returncode == 0:
-                print(f"[bench] backend alive: {r.stdout.strip()}",
-                      file=sys.stderr, flush=True)
-                return
-            tail = (r.stderr or r.stdout).strip().splitlines()
-            last = tail[-1] if tail else f"probe rc={r.returncode}"
-        print(f"[bench] probe failed: {last}", file=sys.stderr, flush=True)
-        if i < attempts:
-            time.sleep(5.0 * i)
-    _emit_error("tpu_unavailable", 2, attempts=attempts, detail=last)
+            _stage(f"backend {msg}")
+
+    ok, detail = probe_backend(attempts, timeout_s, with_matmul=True, log=log)
+    if ok:
+        print(f"[bench] backend alive: {detail}", file=sys.stderr, flush=True)
+    else:
+        _emit_error("tpu_unavailable", 2, attempts=attempts, detail=detail)
 
 
 def _measure_embed_rate(cfg, batch: int, scan_len: int, repeats: int) -> float:

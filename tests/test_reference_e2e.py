@@ -193,7 +193,7 @@ def test_reference_e2e_attention_heatmap(tmp_path):
          "--num_classes", "2", "--thres", "0.0", "0.0",
          "--embedder_weights", emb_path, "--aggregator_weights", agg_path,
          "--bag_path", bag_root, "--map_path", ref_map,
-         "--score_path", ref_scores, "--seed", "9"],
+         "--export_scores", "1", "--score_path", ref_scores, "--seed", "9"],
         capture_output=True, text=True, timeout=600,
         env={**os.environ, "CUDA_VISIBLE_DEVICES": ""})
     assert r.returncode == 0, r.stderr[-3000:]

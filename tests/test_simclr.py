@@ -668,3 +668,41 @@ def test_valid_batch_size_units():
                         mesh=mesh)
     assert tr2._valid_batch_size(7) == 4            # floor to mesh size
     assert tr2._valid_batch_size(3) == 0
+
+
+def test_simclr_resume_adopts_legacy_state_format(tmp_path, rng):
+    """States written by the pre-sharded-API layout ({params, opt_state,
+    epoch, extra} via PyTreeCheckpointer) must still resume — not silently
+    restart pretraining with a misleading 'different config' message."""
+    from PIL import Image
+
+    import tpumil.io.native_ckpt as nc
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    paths = []
+    for i in range(10):
+        arr = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"p{i}.jpeg")
+        Image.fromarray(arr).save(p)
+        paths.append(p)
+
+    model_cfg = SimCLRConfig(compute_dtype=jnp.float32)
+    cfg = SimCLRTrainConfig(batch_size=4, epochs=2, input_size=32,
+                            num_workers=2, lr=1e-4, log_every_n_steps=100)
+    tr = SimCLRTrainer(model_cfg, cfg)
+    params, opt_state = tr.init(jax.random.PRNGKey(cfg.seed))
+    run = str(tmp_path / "run")
+    os.makedirs(os.path.join(run, "state"), exist_ok=True)
+    nc.save_train_state(
+        os.path.join(run, "state"),
+        jax.tree.map(np.asarray, params),
+        jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "dtype") else x,
+                     opt_state),
+        epoch=1,
+        extra={"fingerprint": tr._fingerprint(), "best_valid": 123.0})
+
+    logs = []
+    SimCLRTrainer(model_cfg, cfg).fit(paths, run, log=logs.append,
+                                      resume=True)
+    assert any("Adopting legacy-format train state" in l for l in logs)
+    assert any("Resuming SimCLR pretraining at epoch 1" in l for l in logs)

@@ -118,3 +118,46 @@ def test_decode_patch_high_bitdepth_parity(tmp_path, rng):
     assert u.dtype == np.uint8 and f.dtype == np.float32
     np.testing.assert_allclose(f, u.astype(np.float32) / 255.0)
     assert f.max() <= 1.0 and f.shape == (32, 32, 3)
+
+
+def test_sharded_save_is_crash_safe(tmp_path):
+    """In-place overwrites swap atomically: (a) repeated saves leave only
+    the newest state; (b) a crash BETWEEN the two swap renames (old already
+    moved to .prev, new not yet in place) still restores via the .prev
+    fallback; (c) a crash DURING the inflight write leaves the previous
+    checkpoint untouched and loadable."""
+    import os as _os
+    import shutil
+
+    from tpumil.io.native_ckpt import (load_sharded_train_state,
+                                       save_sharded_train_state)
+
+    path = str(tmp_path / "state")
+    like = {"w": np.zeros((4,), np.float32)}
+    save_sharded_train_state(path, {"w": np.full((4,), 1.0, np.float32)},
+                             meta={"gen": 1})
+    save_sharded_train_state(path, {"w": np.full((4,), 2.0, np.float32)},
+                             meta={"gen": 2})
+    st, meta = load_sharded_train_state(path, like)
+    assert meta["gen"] == 2 and float(st["w"][0]) == 2.0
+    assert not _os.path.exists(path + ".inflight")
+    assert not _os.path.exists(path + ".prev")
+
+    # (b) crash between renames: path gone, .prev holds the last good state
+    _os.rename(path, path + ".prev")
+    st, meta = load_sharded_train_state(path, like)
+    assert meta["gen"] == 2 and float(st["w"][0]) == 2.0
+    _os.rename(path + ".prev", path)
+
+    # (c) crash mid-inflight-write: garbage .inflight must not break loads,
+    # and the next save must clear it
+    _os.makedirs(path + ".inflight")
+    with open(_os.path.join(path + ".inflight", "junk"), "w") as f:
+        f.write("partial")
+    st, meta = load_sharded_train_state(path, like)
+    assert meta["gen"] == 2
+    save_sharded_train_state(path, {"w": np.full((4,), 3.0, np.float32)},
+                             meta={"gen": 3})
+    st, meta = load_sharded_train_state(path, like)
+    assert meta["gen"] == 3 and float(st["w"][0]) == 3.0
+    shutil.rmtree(str(tmp_path / "state"), ignore_errors=True)

@@ -67,14 +67,50 @@ def save_sharded_train_state(path: str, arrays: Any, *,
                              meta: Optional[dict] = None) -> None:
     """Save a pytree of (possibly mesh-sharded) jax.Arrays / numpy arrays
     plus a small JSON-able ``meta`` dict (epoch counters, RNG descriptions —
-    StandardCheckpointer itself rejects strings)."""
+    StandardCheckpointer itself rejects strings).
+
+    Crash-safe in-place overwrite: the new state is written to a sibling
+    ``.inflight`` dir first, then swapped in with atomic renames (the
+    previous state survives as ``.prev`` until the swap completes, and
+    :func:`load_sharded_train_state` falls back to it). A kill at ANY point
+    leaves a loadable checkpoint on disk — this is the store behind every
+    crash-resume feature (mid-fold, mid-epoch SimCLR), so a save must never
+    be able to destroy the only copy.
+
+    Multi-process note: only process 0 performs the swap (orbax has already
+    barriered all processes at the end of its write)."""
+    import shutil
+
+    import jax
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    inflight = path + ".inflight"
+    prev = path + ".prev"
+    if jax.process_index() == 0:
+        shutil.rmtree(inflight, ignore_errors=True)
+    _sync_processes("tpumil_ckpt_pre")
     with ocp.Checkpointer(ocp.CompositeCheckpointHandler()) as ck:
-        ck.save(path, args=ocp.args.Composite(
+        ck.save(inflight, args=ocp.args.Composite(
             state=ocp.args.StandardSave(arrays),
             meta=ocp.args.JsonSave(meta or {})), force=True)
+    if jax.process_index() == 0:
+        shutil.rmtree(prev, ignore_errors=True)
+        if os.path.exists(path):
+            os.rename(path, prev)
+        os.rename(inflight, path)
+        shutil.rmtree(prev, ignore_errors=True)
+    _sync_processes("tpumil_ckpt_post")
+
+
+def _sync_processes(tag: str) -> None:
+    """Barrier across jax processes (no-op single-process)."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
 
 
 def load_sharded_train_state(path: str, like: Any, sharding=None):
@@ -85,12 +121,18 @@ def load_sharded_train_state(path: str, like: Any, sharding=None):
     leaf is restored under ``sharding`` when given (e.g. replicated over the
     CURRENT mesh — which may have a different device count than the saving
     mesh); numpy leaves restore as numpy. ``sharding`` may also be a
-    callable ``leaf -> Sharding`` for mixed layouts."""
+    callable ``leaf -> Sharding`` for mixed layouts.
+
+    If ``path`` is missing (a save crashed between its two swap renames)
+    the ``.prev`` generation is restored instead — see
+    :func:`save_sharded_train_state`."""
     import jax
     import numpy as np
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    if not os.path.exists(path) and os.path.exists(path + ".prev"):
+        path = path + ".prev"
 
     default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
 

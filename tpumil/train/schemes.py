@@ -173,7 +173,9 @@ class WSITrainConfig:
     # checkpoint API (io/native_ckpt.py), so a crash MID-fold resumes at the
     # last boundary instead of retraining the fold — exact continuation,
     # pinned bitwise in tests/test_wsi_schemes.py. None = fold-granularity
-    # resume only (markers). Requires save_dir + resume=True to take effect.
+    # resume only (markers). Saving needs a save_dir (schemes route the
+    # state next to the fold weights); restoring additionally needs
+    # resume=True.
     fold_state_every: Optional[int] = None
 
 
@@ -265,7 +267,8 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
     counter = 0
     epoch = 1
     boundaries = 0
-    if state_dir and cfg.resume and os.path.isdir(state_dir):
+    if state_dir and cfg.resume and (os.path.isdir(state_dir)
+                                     or os.path.isdir(state_dir + ".prev")):
         from tpumil.io import native_ckpt
 
         try:
@@ -414,7 +417,14 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
     from (seed, it) — so a resumed run's later iterations see the same
     split/shuffle/dropout draws as an uninterrupted one — completed
     iterations skip via ``iter_{k}.done.json`` markers, and a crashed
-    iteration continues mid-run when ``cfg.fold_state_every`` is set."""
+    iteration continues mid-run when ``cfg.fold_state_every`` is set.
+
+    NOTE (round 4): the per-iteration streams replaced a single shared
+    sequential RNG, so a given ``cfg.seed`` produces different (equally
+    valid) random splits than earlier tpumil releases did. The scheme's
+    split SEMANTICS are unchanged and still mirror the reference
+    (train_tcga.py:302-306, which draws from an unseeded global RNG — no
+    reference run is reproducible at all)."""
     scheme = "5-time-train+valid+test"
     trainer = _make_trainer(cfg)
     store = _global_store(bags, cfg)

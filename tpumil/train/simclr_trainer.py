@@ -294,7 +294,8 @@ class SimCLRTrainer:
         start_batch = 0
         resume_key = None
         history = {"train_loss": [], "valid_loss": []}
-        if resume and os.path.isdir(state_dir):
+        if resume and (os.path.isdir(state_dir)
+                       or os.path.isdir(state_dir + ".prev")):
             # sharded-aware restore (io/native_ckpt.py): the state may have
             # been written from a dp mesh of any size; arrays come back
             # replicated over THIS trainer's mesh (or single-device)
@@ -310,6 +311,31 @@ class SimCLRTrainer:
                      "key": base_key}, sh)
             except Exception as e:  # unreadable/foreign state: fresh start
                 st, meta = None, {"fingerprint": f"<unreadable: {e}>"}
+            if st is None:
+                # legacy layout (pre-sharded-API releases saved
+                # {params, opt_state, epoch, extra} via PyTreeCheckpointer):
+                # adopt it rather than silently restarting hours of
+                # pretraining; the next epoch-end save rewrites the state in
+                # the current format
+                try:
+                    raw = native_ckpt.load_pytree(
+                        state_dir,
+                        target={"params": params, "opt_state": opt_state,
+                                "epoch": 0,
+                                "extra": {"fingerprint": "",
+                                          "best_valid": 0.0}})
+                    st = {"params": jax.tree.map(jnp.asarray, raw["params"]),
+                          "opt_state": jax.tree.map(
+                              lambda x: jnp.asarray(x)
+                              if hasattr(x, "dtype") else x,
+                              raw["opt_state"]),
+                          "key": base_key}
+                    meta = {"fingerprint": raw["extra"]["fingerprint"],
+                            "epoch": int(raw["epoch"]), "step_in_epoch": 0,
+                            "best_valid": float(raw["extra"]["best_valid"])}
+                    log("Adopting legacy-format train state.")
+                except Exception:
+                    pass
             if st is not None and \
                     meta.get("fingerprint") == self._fingerprint():
                 params, opt_state = st["params"], st["opt_state"]

@@ -8,7 +8,7 @@ user's ``--device`` choice stick regardless.
 from __future__ import annotations
 
 import os
-from typing import Optional
+from typing import Callable, Optional, Tuple
 
 
 def select_platform(device: str = "auto") -> None:
@@ -50,6 +50,58 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass  # older jax or read-only home: caching is best-effort
+
+
+def probe_backend(attempts: int = 3, timeout_s: float = 90.0,
+                  with_matmul: bool = True,
+                  log: Optional[Callable[[str], None]] = None,
+                  ) -> Tuple[bool, str]:
+    """Bounded, retried JAX-backend liveness probe in a SUBPROCESS.
+
+    Round-3 lesson: an unbounded in-process backend init on a dead TPU
+    tunnel hangs indefinitely with zero output. The child lists devices
+    (and optionally runs a tiny matmul) under a hard timeout, retried with
+    backoff, so a wedged tunnel becomes a fast, explained failure. Shared
+    by bench.py and __graft_entry__ — keep the single copy here.
+
+    Returns ``(ok, detail)``: detail is the device summary on success, the
+    last failure message otherwise. ``log`` receives one line per attempt
+    ("probe 1/3 (timeout 90s)") and per failure.
+    """
+    import subprocess
+    import sys
+    import time
+
+    # honor an explicit JAX_PLATFORMS in the child despite the axon site
+    # hook that overrides the env var (CLAUDE.md: forcing a platform needs
+    # BOTH the env var and the config update)
+    code = ("import os, jax; p = os.environ.get('JAX_PLATFORMS'); "
+            "p and jax.config.update('jax_platforms', p); "
+            "import jax.numpy as jnp; d = jax.devices(); ")
+    if with_matmul:
+        code += ("x = jnp.ones((8, 8)); s = float((x @ x).sum()); "
+                 "print(d[0].platform, len(d), s)")
+    else:
+        code += "print(d[0].platform, len(d))"
+    log = log or (lambda s: None)
+    last = "unknown"
+    for i in range(1, attempts + 1):
+        log(f"probe {i}/{attempts} (timeout {timeout_s:.0f}s)")
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               capture_output=True, text=True,
+                               timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            last = f"probe subprocess exceeded {timeout_s:.0f}s"
+        else:
+            if r.returncode == 0:
+                return True, r.stdout.strip()
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            last = tail[-1] if tail else f"probe rc={r.returncode}"
+        log(f"probe failed: {last}")
+        if i < attempts:
+            time.sleep(5.0 * i)
+    return False, last
 
 
 def default_matmul_precision(precision: str = "highest") -> None:
