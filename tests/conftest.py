@@ -15,6 +15,15 @@ import jax  # noqa: E402
 # regardless of JAX_PLATFORMS; the config update below wins.
 jax.config.update("jax_platforms", _platform)
 
+# Persistent XLA compilation cache (~/.cache/tpumil/jax — the same store the
+# CLIs use via select_platform): the suite compiles many structurally
+# identical ResNet/trainer programs across tests and subprocesses; warm runs
+# skip those recompiles. Purely a speed knob — cache keys cover HLO + flags +
+# topology, so numerics are unaffected. TPUMIL_NO_COMPILE_CACHE=1 disables.
+from tpumil.utils.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
