@@ -273,12 +273,15 @@ def test_reference_e2e_mil_bench(tmp_path):
 # compute_feats head-to-head (compute_feats.py:128-263 vs cli/compute_feats)
 # ---------------------------------------------------------------------------
 
-def test_reference_e2e_compute_feats(tmp_path):
+def test_reference_e2e_compute_feats(tmp_path, monkeypatch):
     """Identical patch tree + identical SimCLR checkpoint: the reference's
     torch feature-extraction main() and tpumil's cli/compute_feats must
     produce equivalent per-bag feature CSVs (matched per patch-row; the
     reference's loader order is glob-arbitrary) and the same master-CSV
     label assignment."""
+    # the CLI exports the surgered embedder to the reference-contract
+    # cwd-relative embedder/<ds>/ path — keep that out of the repo tree
+    monkeypatch.chdir(tmp_path)
     import glob as globmod
 
     from tpumil.cli import compute_feats as cf_cli
