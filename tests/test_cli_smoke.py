@@ -20,6 +20,7 @@ CLIS = [
     "tpumil.cli.download",
     "tpumil.cli.pipeline",
     "tpumil.cli.slide_feats",
+    "tpumil.cli.serve",
 ]
 
 

@@ -15,4 +15,5 @@ tpumil additions with no reference counterpart:
 
   python -m tpumil.cli.pipeline       — 5-stage end-to-end driver (YAML config)
   python -m tpumil.cli.slide_feats    — streaming slide->features (no JPEG round trip)
+  python -m tpumil.cli.serve          — HTTP inference server (micro-batched embed/predict)
 """
