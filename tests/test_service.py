@@ -268,6 +268,45 @@ def test_predict_average_mode(emb_setup, agg_params, direct_fwd):
         svc.close()
 
 
+def test_mesh_sharded_service(emb_setup, direct_fwd):
+    """A service sharding its embed batch over the 8-device mesh: (a) row
+    features are BITWISE independent of request packing within the sharded
+    program, and (b) they agree with the unsharded program to float
+    tolerance (XLA partitions reductions differently — exact equality
+    across deployment shapes is NOT guaranteed, see the service docstring)."""
+    from tpumil.parallel.mesh import make_mesh
+
+    params, cfg = emb_setup
+    mesh = make_mesh(8, inst_parallel=1)  # (data=8, inst=1)
+    svc = InferenceService(params, cfg, agg_params=None,
+                           batch_size=BATCH, patch_size=PATCH,
+                           max_wait_ms=5.0, mesh=mesh)
+    try:
+        imgs = _images(BATCH + 3, seed=30)
+        got = svc.embed(imgs)
+        # (a) same rows split across two requests -> packed differently
+        r1 = svc._batcher.submit(imgs[:5])
+        r2 = svc._batcher.submit(imgs[5:])
+        repacked = np.concatenate([r1.result(120)[:, :FEATS],
+                                   r2.result(120)[:, :FEATS]])
+        np.testing.assert_array_equal(repacked, got)
+        # (b) float-level parity vs the unsharded program
+        want, _ = direct_fwd(imgs)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        svc.close()
+
+
+def test_mesh_batch_divisibility_validated(emb_setup):
+    from tpumil.parallel.mesh import make_mesh
+
+    params, cfg = emb_setup
+    mesh = make_mesh(8, inst_parallel=1)
+    with pytest.raises(ValueError, match="divide"):
+        InferenceService(params, cfg, batch_size=BATCH + 1,
+                         patch_size=PATCH, mesh=mesh)
+
+
 # ---------------------------------------------------------------------------
 # HTTP front
 # ---------------------------------------------------------------------------

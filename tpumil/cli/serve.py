@@ -156,11 +156,22 @@ def build_service(args):
         emb_params = embedder.load_simclr_checkpoint(
             args.embedder_weights, emb_cfg)
         agg_params, model_name = None, None
+    mesh = None
+    if getattr(args, "data_parallel", 0) > 1:
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < args.data_parallel:
+            raise ValueError(f"--data_parallel {args.data_parallel} but only "
+                             f"{len(devices)} devices visible")
+        mesh = Mesh(_np.asarray(devices[:args.data_parallel]), ("data",))
     return InferenceService(
         emb_params, emb_cfg, agg_params=agg_params,
         model=model_name or "dsmil", batch_size=args.batch_size,
         patch_size=args.patch_size, max_wait_ms=args.max_wait_ms,
-        thresholds=args.thres, average=args.average)
+        thresholds=args.thres, average=args.average, mesh=mesh)
 
 
 def main(argv=None):
@@ -189,6 +200,10 @@ def main(argv=None):
                              "max-instance sigmoid)")
     parser.add_argument("--device", default="auto",
                         choices=["auto", "cpu", "tpu"])
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="shard the embed batch over the first N devices "
+                             "(one serving process drives N chips; "
+                             "batch_size must divide by N)")
     args = parser.parse_args(argv)
 
     from tpumil.utils.platform import select_platform

@@ -217,7 +217,16 @@ class InferenceService:
                  agg_params: Optional[Dict] = None, model: str = "dsmil",
                  batch_size: int = 128, patch_size: int = 224,
                  max_wait_ms: float = 8.0, thresholds: Optional[Sequence[float]] = None,
-                 average: bool = False, queue_limit: int = 256):
+                 average: bool = False, queue_limit: int = 256,
+                 mesh=None):
+        """``mesh``: optional ``jax.sharding.Mesh`` — the embed batch shards
+        over its FIRST axis (params replicated), so one serving process
+        drives all chips of a pod slice; ``batch_size`` must divide by that
+        axis. Within one service, row features stay BITWISE independent of
+        request packing (same compiled program); across sharded vs
+        unsharded replicas they agree to float tolerance only (~1e-6 —
+        XLA partitions the reductions differently), so pin thresholds
+        against one deployment shape."""
         self.emb_params = emb_params
         self.emb_cfg = emb_cfg
         self.agg_params = agg_params
@@ -232,7 +241,25 @@ class InferenceService:
         self.num_classes = emb_cfg.num_classes
         width = self.num_feats + self.num_classes
 
-        emb_fwd = jax.jit(lambda p, x: embedder_mod.forward(p, x, emb_cfg))
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            n_shard = mesh.devices.shape[0]
+            if batch_size % n_shard:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh's "
+                    f"first axis ({axis}={n_shard})")
+            rep = NamedSharding(mesh, P())
+            img_sh = NamedSharding(mesh, P(axis, None, None, None))
+            out_sh = NamedSharding(mesh, P(axis, None))
+            emb_fwd = jax.jit(
+                lambda p, x: embedder_mod.forward(p, x, emb_cfg),
+                in_shardings=(rep, img_sh), out_shardings=(out_sh, out_sh))
+            self.emb_params = jax.device_put(emb_params, rep)
+        else:
+            emb_fwd = jax.jit(lambda p, x: embedder_mod.forward(p, x, emb_cfg))
 
         def fwd(imgs: np.ndarray) -> np.ndarray:
             feats, logits = emb_fwd(self.emb_params, jnp.asarray(imgs))
