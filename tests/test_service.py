@@ -268,6 +268,32 @@ def test_predict_average_mode(emb_setup, agg_params, direct_fwd):
         svc.close()
 
 
+def test_heatmap_matches_manual_composition(service):
+    """service.heatmap == predict_patches + render_color_map with the fixed
+    serving palette."""
+    from tpumil.infer.heatmap import render_color_map
+    from tpumil.infer.service import _DEFAULT_PALETTE
+
+    imgs = _images(6, seed=40)
+    positions = np.asarray([[0, 0], [0, 1], [1, 0], [1, 1], [2, 0], [2, 1]])
+    image01, result = service.heatmap(imgs, positions)
+    want_result = service.predict_patches(imgs)
+    np.testing.assert_array_equal(result["scores"], want_result["scores"])
+    want_img = render_color_map(
+        want_result["attention"], positions, want_result["detected"],
+        [_DEFAULT_PALETTE[c] for c in range(CLASSES)])
+    np.testing.assert_array_equal(image01, want_img)
+    assert image01.shape == (3 * 32, 2 * 32, 3)
+
+
+def test_heatmap_position_validation(service):
+    imgs = _images(3, seed=41)
+    with pytest.raises(ValueError, match="positions"):
+        service.heatmap(imgs, np.asarray([[0, 0], [0, 1]]))  # wrong N
+    with pytest.raises(ValueError):
+        service.heatmap(imgs, np.asarray([[0, 0], [0, 1], [-1, 0]]))
+
+
 def test_mesh_sharded_service(emb_setup, direct_fwd):
     """A service sharding its embed batch over the 8-device mesh: (a) row
     features are BITWISE independent of request packing within the sharded
@@ -376,6 +402,32 @@ def test_http_predict_features_json(http_server):
     assert status == 200
     out = json.loads(body)
     assert len(out["scores"]) == CLASSES and "attention" not in out
+
+
+def test_http_heatmap_png(http_server):
+    imgs = _images(4, seed=42)
+    positions = np.asarray([[0, 0], [0, 1], [1, 0], [1, 1]])
+    buf = io.BytesIO()
+    np.savez(buf, images=imgs, positions=positions)
+    req = urllib.request.Request(http_server + "/v1/heatmap",
+                                 data=buf.getvalue())
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"] == "image/png"
+        scores = json.loads(resp.headers["X-Tpumil-Scores"])
+        detected = json.loads(resp.headers["X-Tpumil-Detected"])
+        body = resp.read()
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body))
+    assert img.size == (2 * 32, 2 * 32)  # PIL size is (W, H)
+    assert len(scores) == CLASSES and isinstance(detected, list)
+    # npz missing keys -> 400
+    buf = io.BytesIO()
+    np.savez(buf, images=imgs)
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _post(http_server + "/v1/heatmap", buf.getvalue())
+    assert exc.value.code == 400
 
 
 def test_http_errors(http_server):

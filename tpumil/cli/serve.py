@@ -14,6 +14,9 @@ over plain HTTP (stdlib only — no server framework dependency):
                               -> JSON {scores, detected, attention?}
   POST /v1/predict_patches    body: .npy uint8 [N, P, P, 3] (one bag)
                               -> JSON {scores, detected, attention?}
+  POST /v1/heatmap            body: .npz {images, positions[, colors]}
+                              -> PNG attention map (scores/detected in
+                                 X-Tpumil-* headers)
 
 Arrays travel as raw ``.npy`` bytes (``np.save``/``np.load``) — exact,
 self-describing, and zero-copy on the client. ``?attention=1`` includes the
@@ -47,6 +50,24 @@ def _load_npy(body: bytes) -> np.ndarray:
 def _dump_npy(arr: np.ndarray) -> bytes:
     buf = io.BytesIO()
     np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+def _load_npz(body: bytes) -> dict:
+    try:
+        with np.load(io.BytesIO(body), allow_pickle=False) as z:
+            return {k: z[k] for k in z.files}
+    except Exception as exc:
+        raise ValueError(f"body is not a valid .npz archive: {exc}") from None
+
+
+def _encode_png(image01: np.ndarray) -> bytes:
+    from PIL import Image
+
+    from tpumil.ops.image import img_as_ubyte
+
+    buf = io.BytesIO()
+    Image.fromarray(img_as_ubyte(image01)).save(buf, format="PNG")
     return buf.getvalue()
 
 
@@ -120,6 +141,25 @@ def make_handler(service):
                     arr = _load_npy(self._read_body())
                     result = service.predict_patches(arr)
                     self._send_json(200, self._prediction_json(result))
+                elif route == "/v1/heatmap":
+                    data = _load_npz(self._read_body())
+                    if "images" not in data or "positions" not in data:
+                        raise ValueError(
+                            "body must be an .npz with 'images' and "
+                            "'positions' (optional 'colors')")
+                    image01, result = service.heatmap(
+                        data["images"], data["positions"],
+                        colors=data.get("colors"))
+                    png = _encode_png(image01)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "image/png")
+                    self.send_header("Content-Length", str(len(png)))
+                    self.send_header("X-Tpumil-Scores", json.dumps(
+                        [float(s) for s in result["scores"]]))
+                    self.send_header("X-Tpumil-Detected",
+                                     json.dumps(result["detected"]))
+                    self.end_headers()
+                    self.wfile.write(png)
                 else:
                     self._send_json(404, {"error": f"no route {route}"})
             except (ValueError, RuntimeError) as exc:

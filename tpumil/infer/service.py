@@ -64,6 +64,14 @@ class ServiceStats:
         }
 
 
+# fixed serving palette (the reference randomizes colors per run,
+# attention_map.py:63 — a serving endpoint must be deterministic)
+_DEFAULT_PALETTE = np.asarray(
+    [[220, 40, 40], [40, 180, 60], [50, 90, 230], [230, 180, 30],
+     [170, 60, 200], [40, 200, 200], [240, 120, 40], [130, 130, 130]],
+    np.float64)
+
+
 class _Request:
     """One submit()'s result buffer; chunks from the batcher fill it."""
 
@@ -348,6 +356,39 @@ class InferenceService:
         logits (BagInference.run_bag semantics)."""
         feats, logits = self.embed_with_logits(images, timeout)
         return self.predict(feats, ins_logits=logits)
+
+    def heatmap(self, images: np.ndarray, positions: np.ndarray,
+                colors: Optional[np.ndarray] = None,
+                timeout: Optional[float] = 120.0):
+        """End-to-end bag heatmap: predict from raw patches, render the
+        attention color map on the tile grid (attention_map.py:91-113
+        semantics via infer/heatmap.render_color_map). ``positions`` is
+        [N, 2] (row, col) tile coordinates; ``colors`` is an optional
+        [num_classes, 3] RGB-in-[0,255] palette — the reference draws
+        RANDOM class colors per run (attention_map.py:63), a serving
+        endpoint uses a fixed deterministic palette instead.
+
+        Returns ``(image01 [H*32, W*32, 3] float, result dict)``."""
+        images = np.ascontiguousarray(images)
+        positions = np.asarray(positions)
+        if positions.ndim != 2 or positions.shape != (images.shape[0], 2):
+            raise ValueError(f"positions must be [{images.shape[0]}, 2], "
+                             f"got {positions.shape}")
+        if positions.size and (positions.min() < 0
+                               or positions.max() > 4096):
+            raise ValueError("positions must be tile-grid indices in "
+                             "[0, 4096]")
+        positions = positions.astype(np.int64)
+        if colors is None:
+            colors = _DEFAULT_PALETTE
+        result = self.predict_patches(images, timeout)
+        from tpumil.infer.heatmap import render_color_map
+
+        image01 = render_color_map(result["attention"], positions,
+                                   result["detected"],
+                                   [np.asarray(colors[c % len(colors)])
+                                    for c in range(self.num_classes)])
+        return image01, result
 
     # -- ops ----------------------------------------------------------------
 
