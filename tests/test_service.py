@@ -430,6 +430,23 @@ def test_http_heatmap_png(http_server):
     assert exc.value.code == 400
 
 
+def test_serving_client_roundtrips(http_server, direct_fwd):
+    """The stdlib ServingClient speaks the server's wire format exactly."""
+    from tpumil.infer.client import ServingClient
+
+    c = ServingClient(http_server, timeout=120)
+    assert c.health()["status"] == "ok"
+    imgs = _images(4, seed=50)
+    np.testing.assert_array_equal(c.embed(imgs), direct_fwd(imgs)[0])
+    out = c.predict_patches(imgs, attention=True)
+    assert len(out["scores"]) == CLASSES
+    assert np.asarray(out["attention"]).shape == (4, CLASSES)
+    hm = c.heatmap(imgs, np.asarray([[0, 0], [0, 1], [1, 0], [1, 1]]))
+    assert hm["png"][:8] == b"\x89PNG\r\n\x1a\n"
+    assert len(hm["scores"]) == CLASSES
+    assert c.stats()["errors"] == 0
+
+
 def test_http_errors(http_server):
     # malformed npy -> 400 with a JSON error
     with pytest.raises(urllib.error.HTTPError) as exc:

@@ -256,10 +256,17 @@ def main(argv=None):
           f"(batch {args.batch_size}, {args.backbone}/{args.norm}, "
           f"{'embed+predict' if args.aggregator_weights else 'embed only'})",
           flush=True)
+
+    import signal
+
+    def _graceful(signum, frame):  # SIGTERM from an orchestrator
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _graceful)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
-        pass
+        print("tpumil serve: draining and shutting down", flush=True)
     finally:
         server.server_close()
         service.close()
