@@ -173,6 +173,14 @@ def test_submit_validation(service):
         service.embed(np.zeros((2, 16, 16, 3), np.uint8))          # shape
 
 
+def test_submit_after_close_raises():
+    b = MicroBatcher(lambda batch: np.zeros((batch.shape[0], 4), np.float32),
+                     batch_size=4, patch_size=8, out_width=4)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(np.zeros((1, 8, 8, 3), np.uint8))
+
+
 def test_batcher_error_containment():
     """A failing device call fails ONLY the affected requests; the worker
     keeps serving later ones."""

@@ -133,6 +133,8 @@ class MicroBatcher:
     def submit(self, images: np.ndarray) -> _Request:
         """Enqueue ``[N, P, P, 3]`` images; returns a request whose
         ``.result()`` is ``[N, out_width]`` float32 in row order."""
+        if self._stop.is_set():
+            raise RuntimeError("batcher is closed")
         images = np.ascontiguousarray(images)
         if images.ndim != 4 or images.shape[1:] != (self.patch_size,
                                                     self.patch_size, 3):
