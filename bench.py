@@ -19,7 +19,10 @@ DataLoader + .cuda() + forward loop, compute_feats.py:70-76).
 
 Set BENCH_MODE=aggregator to measure the secondary benchmark (per-bag DSMIL
 aggregator training, bags/sec, vs the reference's ~100 bags/sec per-bag
-torch loop).
+torch loop). Other modes: BENCH_MODE=multibucket (realistic 4-bucket
+C16-like training rate), BENCH_MODE=stream (end-to-end slides -> features,
+slides/min; needs ~10 min through the tunnel — raise any outer timeout
+accordingly).
 """
 
 from __future__ import annotations
