@@ -181,6 +181,12 @@ def main():
 
     jax.config.update("jax_platforms", "cpu")
     from tpumil.parallel.mesh import init_distributed
+    from tpumil.utils.platform import enable_compilation_cache
+
+    # Share the suite's persistent XLA cache: the SimCLR stage compiles a
+    # full ResNet fwd+bwd per rank, which on this single-core host is the
+    # dominant cost — warm runs skip it entirely.
+    enable_compilation_cache()
 
     init_distributed(coordinator_address=coord, num_processes=nproc,
                      process_id=rank)
