@@ -161,3 +161,38 @@ def test_sharded_save_is_crash_safe(tmp_path):
     st, meta = load_sharded_train_state(path, like)
     assert meta["gen"] == 3 and float(st["w"][0]) == 3.0
     shutil.rmtree(str(tmp_path / "state"), ignore_errors=True)
+
+
+def test_probe_backend_timeout_escalation(monkeypatch):
+    """Cold-tunnel lesson (round 4): per-attempt probe timeouts must escalate
+    1.5x so a warming tunnel whose first touch exceeds the base timeout still
+    gets a longer later attempt, while total time stays bounded."""
+    import subprocess
+    from tpumil.utils import platform as plat
+
+    seen = []
+
+    def fake_run(cmd, capture_output, text, timeout):
+        seen.append(timeout)
+        raise subprocess.TimeoutExpired(cmd, timeout)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(time, "sleep", lambda s: None)
+    ok, detail = plat.probe_backend(attempts=3, timeout_s=90.0)
+    assert not ok
+    assert seen == [90.0, 135.0, pytest.approx(202.5)]
+    assert "202" in detail
+
+
+def test_probe_backend_success_detail(monkeypatch):
+    import types
+    from tpumil.utils import platform as plat
+
+    def fake_run(cmd, capture_output, text, timeout):
+        return types.SimpleNamespace(returncode=0, stdout="cpu 1 512.0\n",
+                                     stderr="")
+
+    import subprocess
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    ok, detail = plat.probe_backend(attempts=3, timeout_s=90.0)
+    assert ok and detail == "cpu 1 512.0"

@@ -67,6 +67,13 @@ def probe_backend(attempts: int = 3, timeout_s: float = 90.0,
     Returns ``(ok, detail)``: detail is the device summary on success, the
     last failure message otherwise. ``log`` receives one line per attempt
     ("probe 1/3 (timeout 90s)") and per failure.
+
+    The per-attempt timeout escalates 1.5x per retry (90 -> 135 -> 202s by
+    default): a COLD tunnel's first device touch can legitimately exceed the
+    base timeout while it warms (measured round 4: first touch ~4 min, then
+    43 s), and warm-up progress survives across killed probe children — so
+    later, longer attempts convert "cold but alive" into success while a
+    truly dead tunnel still fails in bounded time.
     """
     import subprocess
     import sys
@@ -86,13 +93,14 @@ def probe_backend(attempts: int = 3, timeout_s: float = 90.0,
     log = log or (lambda s: None)
     last = "unknown"
     for i in range(1, attempts + 1):
-        log(f"probe {i}/{attempts} (timeout {timeout_s:.0f}s)")
+        t = timeout_s * (1.5 ** (i - 1))
+        log(f"probe {i}/{attempts} (timeout {t:.0f}s)")
         try:
             r = subprocess.run([sys.executable, "-c", code],
                                capture_output=True, text=True,
-                               timeout=timeout_s)
+                               timeout=t)
         except subprocess.TimeoutExpired:
-            last = f"probe subprocess exceeded {timeout_s:.0f}s"
+            last = f"probe subprocess exceeded {t:.0f}s"
         else:
             if r.returncode == 0:
                 return True, r.stdout.strip()
