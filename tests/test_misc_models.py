@@ -66,3 +66,68 @@ def test_native_tiff_concurrent_reads(tmp_path, rng):
     b = tif.read_region(0, 10, 10, 64, 64)
     np.testing.assert_array_equal(a, b)
     tif.close()
+
+
+def test_poolmil_forward_semantics(rng):
+    """Mean-/max-pooling baselines: bag logits equal the masked mean/max of
+    the instance logits, A carries the implied pooling weights, and padded
+    rows are invisible."""
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.models.registry import get_model
+
+    cfg = DSMILConfig(feats_size=8, num_classes=3)
+    feats = rng.standard_normal((10, 8)).astype(np.float32)
+    pad = np.concatenate([feats, rng.standard_normal((6, 8)).astype(np.float32)])
+    mask = np.arange(16) < 10
+
+    for name in ("meanpool", "maxpool"):
+        mil = get_model(name)
+        params = mil.init_params(jax.random.PRNGKey(0), cfg)
+        c, bag, attn, bemb = (np.asarray(t) for t in mil.forward(
+            params, jnp.asarray(pad), jnp.asarray(mask)))
+        c_real = c[:10]
+        want = c_real.mean(0) if name == "meanpool" else c_real.max(0)
+        np.testing.assert_allclose(bag, want, rtol=1e-6)
+        # attention: zero on padding, normalized over real rows
+        assert np.all(attn[10:] == 0.0)
+        np.testing.assert_allclose(attn.sum(0), np.ones(3), rtol=1e-6)
+        if name == "maxpool":
+            assert np.array_equal(np.argmax(attn, axis=0), np.argmax(c_real, axis=0))
+        np.testing.assert_allclose(bemb, attn.T @ pad, rtol=1e-5, atol=1e-6)
+        # padding invariance vs the unpadded bag
+        _, bag0, _, bemb0 = (np.asarray(t) for t in mil.forward(
+            params, jnp.asarray(feats)))
+        np.testing.assert_allclose(bag, bag0, rtol=1e-6)
+        np.testing.assert_allclose(bemb, bemb0, rtol=1e-5, atol=1e-6)
+        # max_instance_logits contract
+        np.testing.assert_allclose(
+            np.asarray(mil.max_instance_logits(jnp.asarray(c), jnp.asarray(mask))),
+            c_real.max(0), rtol=1e-6)
+
+
+def test_poolmil_trains_and_ckpt_roundtrips(tmp_path, rng):
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.train.trainer import BagTrainer
+    from tpumil.io import torch_ckpt
+
+    bags = make_separable_bags(rng, num_bags=12, feats=16, signal=5.0,
+                               pos_inst_frac=0.4)
+    for name in ("meanpool", "maxpool"):
+        trainer = BagTrainer(DSMILConfig(feats_size=16, num_classes=1),
+                             model=name, chunk_size=4)
+        params, opt_state = trainer.init(jax.random.PRNGKey(0))
+        params, opt_state, loss0 = trainer.train_epoch(params, opt_state, bags,
+                                                       1e-3, rng)
+        for _ in range(4):
+            params, opt_state, loss = trainer.train_epoch(params, opt_state,
+                                                          bags, 1e-3, rng)
+        assert loss < loss0
+        scores, _ = trainer.predict(params, bags)
+        assert scores.shape == (12, 1)
+
+        path = str(tmp_path / f"{name}.pth")
+        torch_ckpt.save_mil_pth(jax.tree.map(np.asarray, params), path, name)
+        params2, cfg2, model2 = torch_ckpt.load_mil_pth(path)
+        assert model2 == name and cfg2.feats_size == 16 and cfg2.num_classes == 1
+        np.testing.assert_array_equal(np.asarray(params["i_fc"]["w"]),
+                                      np.asarray(params2["i_fc"]["w"]))

@@ -22,7 +22,7 @@ def main(argv=None):
     parser.add_argument("--num_epoch", default=40, type=int, help="Number of training epochs [40]")
     parser.add_argument("--cv_fold", default=10, type=int, help="Cross validation folds [10]")
     parser.add_argument("--weight_decay", default=5e-3, type=float, help="Weight decay [5e-3]")
-    parser.add_argument("--model", default="dsmil", type=str, help="MIL model [dsmil|abmil]")
+    parser.add_argument("--model", default="dsmil", type=str, help="MIL model [dsmil|abmil|meanpool|maxpool]")
     parser.add_argument("--seed", default=0, type=int)
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)

@@ -25,7 +25,7 @@ def main(argv=None):
     parser.add_argument("--dataset", default="TCGA-lung-default", type=str,
                         help="Dataset folder name")
     parser.add_argument("--split", default=0.2, type=float, help="Test split fraction [0.2]")
-    parser.add_argument("--model", default="dsmil", type=str, help="MIL model [dsmil|abmil]")
+    parser.add_argument("--model", default="dsmil", type=str, help="MIL model [dsmil|abmil|meanpool|maxpool]")
     parser.add_argument("--dropout_patch", default=0, type=float, help="Patch dropout rate [0]")
     parser.add_argument("--dropout_node", default=0, type=float, help="Bag classifier dropout rate [0]")
     parser.add_argument("--non_linearity", default=1, type=float, help="Additional nonlinear operation [1]")

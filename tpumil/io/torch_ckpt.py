@@ -182,17 +182,33 @@ def abmil_params_from_state_dict(sd: Dict[str, np.ndarray]) -> Tuple[Dict[str, A
 
 
 def save_mil_pth(params: Dict[str, Any], path: str, model: str = "dsmil") -> None:
-    """Model-aware export: the reference schema for dsmil, the tpumil ABMIL
-    schema otherwise."""
-    if model == "abmil" or "att_v" in params:
+    """Model-aware export: the reference schema for dsmil, tpumil schemas
+    for the other registry models (abmil / the pooling baselines)."""
+    if model in ("meanpool", "maxpool"):
+        sd = collections.OrderedDict()
+        sd["i_classifier.fc.weight"] = np.asarray(params["i_fc"]["w"])
+        sd["i_classifier.fc.bias"] = np.asarray(params["i_fc"]["b"])
+        # save_state_dict casts to f32; 0.0/1.0 still round-trips exactly
+        sd["pooling.mode"] = np.float32(0.0 if model == "meanpool" else 1.0)
+        save_state_dict(sd, path)
+    elif model == "abmil" or "att_v" in params:
         save_state_dict(abmil_state_dict_from_params(params), path)
     else:
         save_aggregator_pth(params, path)
 
 
 def load_mil_pth(path: str) -> Tuple[Dict[str, Any], DSMILConfig, str]:
-    """Load either schema; returns (params, cfg, model_name)."""
+    """Load any registry schema; returns (params, cfg, model_name)."""
+    import jax.numpy as jnp
+
     sd = load_state_dict(path)
+    if "pooling.mode" in sd:
+        i_w = np.asarray(sd["i_classifier.fc.weight"], np.float32)
+        i_b = np.asarray(sd["i_classifier.fc.bias"], np.float32)
+        params = {"i_fc": {"w": jnp.asarray(i_w), "b": jnp.asarray(i_b)}}
+        c, k = i_w.shape
+        model = "maxpool" if float(sd["pooling.mode"]) > 0.5 else "meanpool"
+        return params, DSMILConfig(feats_size=k, num_classes=c), model
     if "b_classifier.attention_v.weight" in sd:
         params, cfg = abmil_params_from_state_dict(sd)
         return params, cfg, "abmil"

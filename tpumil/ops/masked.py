@@ -48,6 +48,17 @@ def masked_argmax(x, mask, axis):
     return jnp.argmax(_fill(x, mask, NEG_INF), axis=axis)
 
 
+def masked_mean(x, mask, axis):
+    """Mean over ``axis`` counting only real instances (used by the
+    mean-pooling MIL baseline). Padded-only slices return 0."""
+    if mask is None:
+        return jnp.mean(x, axis=axis)
+    m = jnp.broadcast_to(
+        jnp.expand_dims(mask, -1) if mask.ndim == x.ndim - 1 else mask,
+        x.shape).astype(x.dtype)
+    return jnp.sum(x * m, axis=axis) / jnp.maximum(jnp.sum(m, axis=axis), 1.0)
+
+
 def masked_softmax(x, mask, axis):
     """Softmax over ``axis`` with padded entries receiving exactly 0 weight.
 
