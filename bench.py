@@ -22,7 +22,8 @@ aggregator training, bags/sec, vs the reference's ~100 bags/sec per-bag
 torch loop). Other modes: BENCH_MODE=multibucket (realistic 4-bucket
 C16-like training rate), BENCH_MODE=stream (end-to-end slides -> features,
 slides/min; needs ~10 min through the tunnel — raise any outer timeout
-accordingly).
+accordingly), BENCH_MODE=simclr (full compiled SimCLR train step at batch
+256: on-device two-view augmentation, fwd+bwd, NT-Xent, Adam).
 """
 
 from __future__ import annotations
@@ -37,6 +38,8 @@ import numpy as np
 
 FEAT_BASELINE_PPS = 3500.0     # A100 PyTorch fp16 resnet18 eager inference
 AGG_BASELINE_BPS = 100.0       # reference per-bag torch loop (train_tcga.py:60-73)
+SIMCLR_BASELINE_PPS = 1250.0   # reference eager A100 SimCLR step (host-side
+                               # DataLoader augs + apex fp16, simclr.py:95-109)
 
 # ---------------------------------------------------------------------------
 # Failure containment. A perf harness whose failure looks like a hang cannot
@@ -256,6 +259,45 @@ def bench_aggregator_multibucket(bags_per_bucket: int = 64,
     }
 
 
+def bench_simclr(batch: int = 256, repeats: int = 10) -> dict:
+    """Full compiled SimCLR training step (the reference's hot loop,
+    simclr/simclr.py:95-109): on-device two-view augmentation, bf16
+    backbone forward+backward, NT-Xent, Adam — patches/s (= 2 views each).
+    Steps are chained with ONE host sync at the end so tunnel dispatch
+    latency pipelines away (docs/PERF.md methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpumil.models.simclr import SimCLRConfig
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    tr = SimCLRTrainer(SimCLRConfig(compute_dtype=jnp.bfloat16),
+                       SimCLRTrainConfig(batch_size=batch, input_size=224))
+    p, s = tr.init(jax.random.PRNGKey(0))
+    imgs = jax.jit(lambda k: jax.random.uniform(
+        k, (batch, 224, 224, 3), jnp.float32))(jax.random.PRNGKey(1))
+    lr = jnp.asarray(1e-5)
+    key = jax.random.PRNGKey(2)
+    p, s, loss = tr._train_step(p, s, key, imgs, lr)  # compile + run once
+    assert np.isfinite(float(loss))
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        key, sub = jax.random.split(key)
+        p, s, loss = tr._train_step(p, s, sub, imgs, lr)
+    _ = float(loss)  # one deferred sync for the whole chain
+    dt = (time.perf_counter() - t0) / repeats
+    pps = batch / dt
+    return {
+        "metric": "simclr_train_throughput",
+        "value": round(pps, 1),
+        "unit": (f"patches/sec/chip (batch {batch} @ 224^2, two bf16 views, "
+                 f"full step incl. on-device augmentation, "
+                 f"{dt * 1e3:.1f} ms/step)"),
+        "vs_baseline": round(pps / SIMCLR_BASELINE_PPS, 2),
+        "baseline_is_estimate": True,
+    }
+
+
 def bench_stream(side: int = 8192, tissue_frac: float = 0.6,
                  batch_size: int = 128, n_slides: int = 3,
                  trials: int = 5) -> dict:
@@ -383,6 +425,9 @@ def main():
         elif mode == "multibucket":
             _stage("multibucket: 4-bucket epoch-major train_epochs")
             result = bench_aggregator_multibucket()
+        elif mode == "simclr":
+            _stage("simclr: compiled b256 train steps")
+            result = bench_simclr()
         else:
             _stage("feats: bf16 + f32 embed scans")
             result = bench_feature_extraction()
