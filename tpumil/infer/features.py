@@ -39,10 +39,20 @@ class ExtractorStats:
 
 
 class FeatureExtractor:
-    """Jitted embedder with fixed batch shape + prefetching host pipeline."""
+    """Jitted embedder with fixed batch shape + prefetching host pipeline.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the patch batch shards over
+    the mesh's FIRST axis (params replicated), so one extraction process
+    drives every chip of a pod slice (the reference's only scale-out is
+    ``CUDA_VISIBLE_DEVICES`` process placement, compute_feats.py:143-144).
+    ``batch_size`` must divide by that axis. Per-patch features are
+    independent (InstanceNorm has no cross-sample coupling), but sharded vs
+    unsharded replicas agree to float tolerance only (~1e-6 — XLA
+    partitions reductions differently), same caveat as the serving path.
+    """
 
     def __init__(self, params: Dict, cfg: EmbedderConfig, batch_size: int = 128,
-                 patch_size: int = 224, num_workers: int = 8):
+                 patch_size: int = 224, num_workers: int = 8, mesh=None):
         self.params = params
         self.cfg = cfg
         self.batch_size = batch_size
@@ -50,7 +60,25 @@ class FeatureExtractor:
         self.num_workers = num_workers
 
         # embedder.forward normalizes uint8 batches on device itself
-        self._fwd = jax.jit(lambda p, x: embedder.forward(p, x, cfg))
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+            from jax.sharding import PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            n_shard = mesh.devices.shape[0]
+            if batch_size % n_shard:
+                raise ValueError(
+                    f"batch_size {batch_size} must divide by the mesh's "
+                    f"first axis ({axis}={n_shard})")
+            rep = NamedSharding(mesh, P())
+            img_sh = NamedSharding(mesh, P(axis, None, None, None))
+            out_sh = NamedSharding(mesh, P(axis, None))
+            self._fwd = jax.jit(lambda p, x: embedder.forward(p, x, cfg),
+                                in_shardings=(rep, img_sh),
+                                out_shardings=(out_sh, out_sh))
+            self.params = jax.device_put(params, rep)
+        else:
+            self._fwd = jax.jit(lambda p, x: embedder.forward(p, x, cfg))
         self.stats = ExtractorStats()
 
     def embed_paths(self, paths: Sequence[str]) -> np.ndarray:
