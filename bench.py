@@ -142,18 +142,22 @@ def _measure_embed_rate(cfg, batch: int, scan_len: int, repeats: int) -> float:
 
 def bench_feature_extraction(batch: int = 128, scan_len: int = 256,
                              repeats: int = 3) -> dict:
-    from tpumil.models import embedder
-    from tpumil.models.embedder import EmbedderConfig
-
     # both rates ride in one JSON line so the headline (bf16 throughput
     # mode) can't be misread as the shipped default (cli/compute_feats
-    # defaults to --precision f32, the parity tier)
+    # defaults to --precision f32, the parity tier).
+    # The measured configs are built by cli/compute_feats' OWN parser +
+    # config_from_args on CLI defaults (space_to_depth, norm, backbone),
+    # so the headline rate is by construction what a CLI user gets.
+    from tpumil.cli.compute_feats import build_parser, config_from_args
+
     rates = {}
     for flag in ("bf16", "f32"):
-        dtype, tier = embedder.precision_from_flag(flag)
-        cfg = EmbedderConfig(backbone="resnet18", norm="instance",
-                             num_classes=1, space_to_depth=True,
-                             compute_dtype=dtype, precision=tier)
+        args = build_parser().parse_args(
+            ["--precision", flag, "--num_classes", "1"])
+        assert args.batch_size == batch, \
+            f"CLI default batch_size {args.batch_size} != benched {batch}"
+        cfg = config_from_args(args)
+        assert cfg.space_to_depth, "CLI default lost the benchmarked stem"
         rates[flag] = _measure_embed_rate(cfg, batch, scan_len, repeats)
     return {
         "metric": "feat_extraction_throughput",

@@ -181,6 +181,72 @@ def test_embedder_layout_autodetect(tmp_path):
                                    np.asarray(p_surg["backbone"][k]), atol=1e-6)
 
 
+def test_mesh_sharded_feature_extractor(tmp_path, rng):
+    """FeatureExtractor(mesh=...) shards the patch batch over EVERY mesh
+    axis: features must match the unsharded extractor to float tolerance
+    (XLA partitions reductions differently — exact equality across
+    deployment shapes is NOT guaranteed), including the padded final
+    partial batch of embed_paths AND a non-divisible embed_arrays batch
+    (padded internally). Also pins the divisibility ValueError."""
+    from tpumil.parallel.mesh import make_mesh
+
+    root = _make_wsi_tree(tmp_path, rng, n_bags=1, n_patches=11)
+    paths = list_patches(list_bag_dirs(root, "ds", "single")[0])
+    cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    params = embedder.init_params(jax.random.PRNGKey(0), cfg)
+
+    plain = FeatureExtractor(params, cfg, batch_size=8, patch_size=32,
+                             num_workers=2)
+    want = plain.embed_paths(paths)  # 11 patches -> 8 + padded 3
+
+    mesh = make_mesh(8)  # default (data=4, inst=2): both axes must shard
+    sharded = FeatureExtractor(params, cfg, batch_size=8, patch_size=32,
+                               num_workers=2, mesh=mesh)
+    got = sharded.embed_paths(paths)
+    assert got.shape == want.shape == (11, cfg.num_feats)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # embed_arrays with a batch not divisible by the device count: padded
+    # to the next multiple internally, result sliced back
+    imgs = (rng.random((5, 32, 32, 3)) * 255).astype(np.uint8)
+    got_arr = sharded.embed_arrays(imgs)
+    want_arr = plain.embed_arrays(imgs)
+    assert got_arr.shape == (5, cfg.num_feats)
+    np.testing.assert_allclose(got_arr, want_arr, rtol=1e-5, atol=1e-5)
+
+    with pytest.raises(ValueError, match="divide"):
+        FeatureExtractor(params, cfg, batch_size=12, patch_size=32, mesh=mesh)
+
+
+def test_compute_feats_data_parallel_cli(tmp_path, rng, monkeypatch):
+    """cli/compute_feats --data_parallel 8 on the virtual mesh writes the
+    same per-bag CSVs as the single-device run (%.4f text rounding can
+    differ by one ulp where XLA's sharded reductions land on a rounding
+    boundary — compare numerically)."""
+    from PIL import Image
+
+    from tpumil.cli import compute_feats as cf_cli
+
+    monkeypatch.chdir(tmp_path)
+    d = tmp_path / "WSI" / "demo" / "single" / "tumor" / "bag0"
+    d.mkdir(parents=True)
+    for i in range(9):
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                        ).save(str(d / f"{i}_0.jpeg"))
+    args = ["--dataset", "demo", "--magnification", "single",
+            "--weights", "ImageNet", "--norm_layer", "batch",
+            "--num_classes", "1", "--patch_size", "32", "--device", "cpu",
+            "--batch_size", "8"]
+    assert cf_cli.main(args + ["--out_root", "plain"]) == 0
+    assert cf_cli.main(args + ["--out_root", "dp", "--data_parallel", "8"]) == 0
+    import pandas as pd
+
+    a = pd.read_csv("plain/demo/tumor/bag0.csv").to_numpy()
+    b = pd.read_csv("dp/demo/tumor/bag0.csv").to_numpy()
+    assert a.shape == b.shape == (9, 512)
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
 def test_compute_feats_sharded_cli(tmp_path, rng, monkeypatch):
     """--shard i/n splits the bag list disjointly; --assemble_only builds
     the master CSV over the union — the multi-host scale-out contract."""

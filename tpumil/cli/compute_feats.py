@@ -9,7 +9,7 @@ import os
 import sys
 
 
-def main(argv=None):
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         description="Compute features from a SimCLR embedder (TPU-native)")
     parser.add_argument("--num_classes", default=2, type=int)
@@ -49,7 +49,38 @@ def main(argv=None):
     parser.add_argument("--assemble_only", action="store_true",
                         help="Skip extraction; just assemble the per-class "
                              "and master dataset CSVs from existing bag CSVs")
+    parser.add_argument("--space_to_depth", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="2x2 space-to-depth stem rewrite: identical "
+                             "features (parity pinned to 1e-4, "
+                             "tests/test_resnet.py) at the benchmarked rate; "
+                             "--no-space_to_depth restores the plain 7x7/s2 "
+                             "stem (docs/PERF.md)")
+    parser.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                        help="Shard each patch batch over the first N "
+                             "devices (params replicated) — one process "
+                             "drives N chips; batch_size must divide by N. "
+                             "Replaces the reference's CUDA_VISIBLE_DEVICES "
+                             "process placement (compute_feats.py:143-144)")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
+    return parser
+
+
+def config_from_args(args):
+    """The EmbedderConfig this CLI runs — bench.py measures THIS function's
+    output on CLI defaults, so the headline rate is the shipped rate."""
+    from tpumil.models import embedder
+    from tpumil.models.embedder import EmbedderConfig
+
+    dtype, tier = embedder.precision_from_flag(args.precision)
+    return EmbedderConfig(backbone=args.backbone, norm=args.norm_layer,
+                          num_classes=args.num_classes,
+                          space_to_depth=args.space_to_depth,
+                          compute_dtype=dtype, precision=tier)
+
+
+def main(argv=None):
+    parser = build_parser()
     args = parser.parse_args(argv)
 
     from tpumil.utils.platform import select_platform
@@ -63,13 +94,15 @@ def main(argv=None):
     from tpumil.data.patches import list_bag_dirs
     from tpumil.io import torch_ckpt
     from tpumil.models import embedder
-    from tpumil.models.embedder import EmbedderConfig
     from tpumil.infer.features import FeatureExtractor, compute_feats, compute_tree_feats
 
-    dtype, tier = embedder.precision_from_flag(args.precision)
-    cfg = EmbedderConfig(backbone=args.backbone, norm=args.norm_layer,
-                         num_classes=args.num_classes,
-                         compute_dtype=dtype, precision=tier)
+    cfg = config_from_args(args)
+    mesh = None
+    if args.data_parallel:
+        from tpumil.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, inst_parallel=1)
+        print(f"data-parallel extraction over {args.data_parallel} devices")
 
     def resolve_weights(spec):
         if spec is None:
@@ -119,15 +152,15 @@ def main(argv=None):
         params_h = load(args.weights_high, "embedder-high.pth")
         params_l = load(args.weights_low, "embedder-low.pth")
         ex_h = FeatureExtractor(params_h, cfg, args.batch_size, args.patch_size,
-                                args.num_workers)
+                                args.num_workers, mesh=mesh)
         ex_l = FeatureExtractor(params_l, cfg, args.batch_size, args.patch_size,
-                                args.num_workers)
+                                args.num_workers, mesh=mesh)
         compute_tree_feats(bag_dirs, ex_l, ex_h, feats_path, args.tree_fusion, log)
         stats = ex_h.stats
     else:
         params = load(args.weights, "embedder.pth")
         ex = FeatureExtractor(params, cfg, args.batch_size, args.patch_size,
-                              args.num_workers)
+                              args.num_workers, mesh=mesh)
         compute_feats(bag_dirs, ex, feats_path, args.magnification, log)
         stats = ex.stats
 

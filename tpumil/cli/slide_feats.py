@@ -25,8 +25,18 @@ def main(argv=None):
     parser.add_argument("--objective", default=20, type=float)
     parser.add_argument("--background_t", default=15, type=float)
     parser.add_argument("--magnifications", type=int, nargs="+", default=(0,))
-    parser.add_argument("--batch_size", default=64, type=int)
+    # 128 is the measured sweet spot (docs/PERF.md batch sweep: 30.7k
+    # patches/s at 128 vs 19.0k at 64)
+    parser.add_argument("--batch_size", default=128, type=int)
     parser.add_argument("--workers", default=4, type=int)
+    parser.add_argument("--space_to_depth", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="2x2 space-to-depth stem rewrite (identical "
+                             "features to 1e-4, benchmarked rate); "
+                             "--no-space_to_depth restores the 7x7/s2 stem")
+    parser.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                        help="Shard each patch batch over the first N "
+                             "devices; batch_size must divide by N")
     # f32 default, matching compute_feats and the measured policy (bf16
     # features shift downstream AUC — docs/PERF.md "Precision tiers");
     # bf16 stays the explicit throughput opt-in
@@ -56,6 +66,7 @@ def main(argv=None):
     dtype, tier = embedder.precision_from_flag(args.precision)
     cfg = EmbedderConfig(backbone=args.backbone, norm=args.norm_layer,
                          num_classes=args.num_classes,
+                         space_to_depth=args.space_to_depth,
                          compute_dtype=dtype, precision=tier)
     if args.weights and os.path.exists(args.weights):
         params = embedder.load_simclr_checkpoint(args.weights, cfg)
@@ -70,7 +81,14 @@ def main(argv=None):
             print("no SimCLR weights found; using random init")
             params = embedder.init_params(jax.random.PRNGKey(0), cfg)
 
-    extractor = FeatureExtractor(params, cfg, args.batch_size, args.tile_size)
+    mesh = None
+    if args.data_parallel:
+        from tpumil.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, inst_parallel=1)
+        print(f"data-parallel extraction over {args.data_parallel} devices")
+    extractor = FeatureExtractor(params, cfg, args.batch_size, args.tile_size,
+                                 mesh=mesh)
     tiler_cfg = TilerConfig(tile_size=args.tile_size, base_mag=args.base_mag,
                             objective=args.objective,
                             background_threshold=args.background_t,

@@ -42,13 +42,15 @@ class FeatureExtractor:
     """Jitted embedder with fixed batch shape + prefetching host pipeline.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the patch batch shards over
-    the mesh's FIRST axis (params replicated), so one extraction process
-    drives every chip of a pod slice (the reference's only scale-out is
+    EVERY mesh axis (params replicated), so one extraction process drives
+    all chips of a pod slice (the reference's only scale-out is
     ``CUDA_VISIBLE_DEVICES`` process placement, compute_feats.py:143-144).
-    ``batch_size`` must divide by that axis. Per-patch features are
-    independent (InstanceNorm has no cross-sample coupling), but sharded vs
-    unsharded replicas agree to float tolerance only (~1e-6 — XLA
-    partitions reductions differently), same caveat as the serving path.
+    ``batch_size`` must divide by the mesh's total device count. Per-patch
+    features are independent (InstanceNorm has no cross-sample coupling),
+    but sharded vs unsharded replicas agree to float tolerance only
+    (~1e-6 — XLA partitions reductions differently; pinned in
+    tests/test_features.py::test_mesh_sharded_feature_extractor), same
+    caveat as the serving path.
     """
 
     def __init__(self, params: Dict, cfg: EmbedderConfig, batch_size: int = 128,
@@ -61,24 +63,14 @@ class FeatureExtractor:
 
         # embedder.forward normalizes uint8 batches on device itself
         if mesh is not None:
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as P
+            from tpumil.parallel.mesh import make_batch_sharded_jit
 
-            axis = mesh.axis_names[0]
-            n_shard = mesh.devices.shape[0]
-            if batch_size % n_shard:
-                raise ValueError(
-                    f"batch_size {batch_size} must divide by the mesh's "
-                    f"first axis ({axis}={n_shard})")
-            rep = NamedSharding(mesh, P())
-            img_sh = NamedSharding(mesh, P(axis, None, None, None))
-            out_sh = NamedSharding(mesh, P(axis, None))
-            self._fwd = jax.jit(lambda p, x: embedder.forward(p, x, cfg),
-                                in_shardings=(rep, img_sh),
-                                out_shardings=(out_sh, out_sh))
-            self.params = jax.device_put(params, rep)
+            self._fwd, put_params, self._n_shard = make_batch_sharded_jit(
+                mesh, batch_size, lambda p, x: embedder.forward(p, x, cfg))
+            self.params = put_params(params)
         else:
             self._fwd = jax.jit(lambda p, x: embedder.forward(p, x, cfg))
+            self._n_shard = 1
         self.stats = ExtractorStats()
 
     def embed_paths(self, paths: Sequence[str]) -> np.ndarray:
@@ -104,8 +96,17 @@ class FeatureExtractor:
         return np.concatenate(outs, axis=0)
 
     def embed_arrays(self, batch: np.ndarray) -> np.ndarray:
+        """Features for an arbitrary-length uint8/float batch. In mesh mode
+        a batch whose length does not divide by the device count is padded
+        with zero rows to the next multiple (and the result sliced back) —
+        callers like stream_embed pass variable-size final batches."""
+        n = batch.shape[0]
+        pad = (-n) % self._n_shard
+        if pad:
+            batch = np.concatenate(
+                [batch, np.zeros((pad,) + batch.shape[1:], batch.dtype)])
         feats, _ = self._fwd(self.params, jnp.asarray(batch))
-        return np.asarray(feats)
+        return np.asarray(feats)[:n]
 
 
 def compute_feats(bag_dirs: Sequence[str], extractor: FeatureExtractor,

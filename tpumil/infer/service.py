@@ -230,13 +230,13 @@ class InferenceService:
                  average: bool = False, queue_limit: int = 256,
                  mesh=None):
         """``mesh``: optional ``jax.sharding.Mesh`` — the embed batch shards
-        over its FIRST axis (params replicated), so one serving process
-        drives all chips of a pod slice; ``batch_size`` must divide by that
-        axis. Within one service, row features stay BITWISE independent of
-        request packing (same compiled program); across sharded vs
-        unsharded replicas they agree to float tolerance only (~1e-6 —
-        XLA partitions the reductions differently), so pin thresholds
-        against one deployment shape."""
+        over EVERY mesh axis (params replicated), so one serving process
+        drives all chips of a pod slice; ``batch_size`` must divide by the
+        mesh's total device count. Within one service, row features stay
+        BITWISE independent of request packing (same compiled program);
+        across sharded vs unsharded replicas they agree to float tolerance
+        only (~1e-6 — XLA partitions the reductions differently), so pin
+        thresholds against one deployment shape."""
         self.emb_params = emb_params
         self.emb_cfg = emb_cfg
         self.agg_params = agg_params
@@ -252,22 +252,12 @@ class InferenceService:
         width = self.num_feats + self.num_classes
 
         if mesh is not None:
-            from jax.sharding import NamedSharding
-            from jax.sharding import PartitionSpec as P
+            from tpumil.parallel.mesh import make_batch_sharded_jit
 
-            axis = mesh.axis_names[0]
-            n_shard = mesh.devices.shape[0]
-            if batch_size % n_shard:
-                raise ValueError(
-                    f"batch_size {batch_size} must divide by the mesh's "
-                    f"first axis ({axis}={n_shard})")
-            rep = NamedSharding(mesh, P())
-            img_sh = NamedSharding(mesh, P(axis, None, None, None))
-            out_sh = NamedSharding(mesh, P(axis, None))
-            emb_fwd = jax.jit(
-                lambda p, x: embedder_mod.forward(p, x, emb_cfg),
-                in_shardings=(rep, img_sh), out_shardings=(out_sh, out_sh))
-            self.emb_params = jax.device_put(emb_params, rep)
+            emb_fwd, put_params, _ = make_batch_sharded_jit(
+                mesh, batch_size,
+                lambda p, x: embedder_mod.forward(p, x, emb_cfg))
+            self.emb_params = put_params(emb_params)
         else:
             emb_fwd = jax.jit(lambda p, x: embedder_mod.forward(p, x, emb_cfg))
 

@@ -58,6 +58,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def make_batch_sharded_jit(mesh: Mesh, batch_size: int, fwd):
+    """jit an embedder-style ``fwd(params, batch)`` with the batch sharded
+    over EVERY mesh axis (params replicated) — the TPU-native replacement for
+    the reference's process-placement scale-out of feature extraction
+    (compute_feats.py:143-144 ``CUDA_VISIBLE_DEVICES``).
+
+    The [B, ...] batch's leading dim shards over all axes flattened, so a
+    (data=4, inst=2) mesh puts B/8 rows on each of the 8 chips — no axis
+    replicates compute. ``fwd`` must return a tuple of [B, ...] arrays
+    (each comes back sharded the same way).
+
+    Returns ``(jitted_fwd, put_params, n_shard)``: call ``put_params`` once
+    on the replicated params, and keep batch leading dims divisible by
+    ``n_shard`` (= total device count of the mesh).
+    """
+    axes = tuple(mesh.axis_names)
+    n_shard = int(mesh.devices.size)
+    if batch_size % n_shard:
+        raise ValueError(
+            f"batch_size {batch_size} must divide by the mesh's device "
+            f"count ({'x'.join(map(str, mesh.devices.shape))}={n_shard})")
+    rep = NamedSharding(mesh, P())
+    img_sh = NamedSharding(mesh, P(axes, None, None, None))
+    out_sh = NamedSharding(mesh, P(axes, None))
+    jitted = jax.jit(fwd, in_shardings=(rep, img_sh),
+                     out_shardings=(out_sh, out_sh))
+    put_params = lambda p: jax.device_put(p, rep)
+    return jitted, put_params, n_shard
+
+
 def init_distributed(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None) -> None:
