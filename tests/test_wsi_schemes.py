@@ -320,3 +320,80 @@ def test_5time_tvt_resume_matches_uninterrupted(tmp_path, rng):
                                    atol=1e-6)
         assert resumed["iterations"][k]["test_acc"] == \
             pytest.approx(full["iterations"][k]["test_acc"], abs=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip (instance-sharded) scheme runs — the product path
+# ---------------------------------------------------------------------------
+
+def test_run_5fold_cv_inst_sharded_parity(rng):
+    """run_5fold_cv with cfg.inst_shard=8 (every bag's instance axis sharded
+    over the virtual 8-device mesh) must reproduce the single-device scheme:
+    identical fold membership and visitation (the sharded trainer inherits
+    BagTrainer's RNG consumption), metrics equal to float tolerance (the
+    shard_map collectives reorder reductions, so trajectories agree to
+    ~1e-5 per step, not bitwise)."""
+    bags = make_separable_bags(rng, num_bags=20, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    kw = dict(feats_size=16, num_classes=1, num_epochs=3, lr=1e-3,
+              stop_epochs=3, verbose=False, seed=0)
+    want = run_5fold_cv(bags, WSITrainConfig(**kw), log=lambda s: None)
+    got = run_5fold_cv(bags, WSITrainConfig(**kw, inst_shard=8),
+                       log=lambda s: None)
+    assert [f["acc"] for f in got["folds"]] == [f["acc"] for f in want["folds"]]
+    np.testing.assert_allclose(
+        [f["aucs"] for f in got["folds"]],
+        [f["aucs"] for f in want["folds"]], atol=1e-3)
+    np.testing.assert_allclose(
+        [f["thresholds"] for f in got["folds"]],
+        [f["thresholds"] for f in want["folds"]], atol=1e-3)
+    assert got["mean_accuracy"] == want["mean_accuracy"]
+
+
+def test_standalone_test_inst_sharded_resume(tmp_path, rng):
+    """The standalone-test scheme end-to-end SHARDED: thresholds export,
+    majority vote, and fold resume all flow through the inst-sharded
+    trainer; a resumed rerun adopts the completed folds' markers."""
+    bags = make_separable_bags(rng, num_bags=20, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    cfg = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=3, lr=1e-3,
+                         stop_epochs=3, verbose=False, seed=0, inst_shard=8)
+    save_dir = str(tmp_path / "weights")
+    out = run_5fold_cv_standalone_test(bags, cfg, log=lambda s: None,
+                                       save_dir=save_dir)
+    assert len(out["folds"]) == 5
+    assert len(glob.glob(os.path.join(save_dir, "test",
+                                      "mil_weights_fold_*.pth"))) == 5
+    logs = []
+    cfg2 = WSITrainConfig(feats_size=16, num_classes=1, num_epochs=3, lr=1e-3,
+                          stop_epochs=3, verbose=False, seed=0, inst_shard=8,
+                          resume=True)
+    out2 = run_5fold_cv_standalone_test(bags, cfg2, log=logs.append,
+                                        save_dir=save_dir)
+    assert sum("Resuming fold" in l for l in logs) == 5
+    np.testing.assert_allclose(
+        [f["thresholds"] for f in out2["folds"]],
+        [f["thresholds"] for f in out["folds"]], atol=1e-6)
+    assert out2["final"] == out["final"]
+
+
+def test_inst_sharded_trainer_validation():
+    """Constructor guards: non-power-of-two axis, dropout_patch, non-dsmil
+    models, and a missing mesh all fail loudly instead of degrading."""
+    import jax
+    from jax.sharding import Mesh
+
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.parallel.bag_shard import InstanceShardedBagTrainer
+
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    with pytest.raises(ValueError, match="mesh"):
+        InstanceShardedBagTrainer(cfg)
+    mesh3 = Mesh(np.asarray(jax.devices()[:3]), ("inst",))
+    with pytest.raises(ValueError, match="power of two"):
+        InstanceShardedBagTrainer(cfg, mesh=mesh3)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("inst",))
+    with pytest.raises(NotImplementedError, match="dropout"):
+        InstanceShardedBagTrainer(cfg, mesh=mesh, dropout_patch=0.5)
+    with pytest.raises(NotImplementedError, match="dsmil"):
+        InstanceShardedBagTrainer(cfg, mesh=mesh, model="abmil")

@@ -52,6 +52,12 @@ def main(argv=None):
                         help="Accepted for reference CLI compatibility "
                              "(train_tcga.py --gpu_index); device selection "
                              "here is --device")
+    parser.add_argument("--inst_shard", default=0, type=int, metavar="N",
+                        help="Shard every bag's instance axis over the "
+                             "first N devices (power of two) — multi-chip "
+                             "training for bags larger than one chip's HBM; "
+                             "same trajectory as single-device to float "
+                             "tolerance [0 = off]")
     args = parser.parse_args(argv)
     if args.eval_scheme not in ("5-fold-cv", "5-time-train+valid+test",
                                 "5-fold-cv-standalone-test"):
@@ -88,7 +94,8 @@ def main(argv=None):
         dropout_patch=args.dropout_patch, dropout_node=args.dropout_node,
         nonlinear=bool(args.non_linearity), average=args.average,
         seed=args.seed, model=args.model, eval_interval=args.eval_interval,
-        resume=args.resume, fold_state_every=args.fold_state_every or None)
+        resume=args.resume, fold_state_every=args.fold_state_every or None,
+        inst_shard=args.inst_shard)
 
     save_dir = os.path.join(args.save_root, datetime.date.today().strftime("%Y%m%d"))
     if args.eval_scheme == "5-fold-cv":

@@ -212,3 +212,111 @@ def train_bags_sharded(step, mesh: Mesh, params, opt_state, bags, lr, rng,
                                        jnp.asarray(labels[0]), lr, pw)
         losses.append(loss)
     return params, opt_state, np.asarray([float(l) for l in losses])
+
+
+# ---------------------------------------------------------------------------
+# Scheme-pluggable trainer: BagTrainer semantics, inst-sharded execution
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dataclasses
+
+import numpy as _np
+
+from tpumil.train.trainer import BagTrainer as _BagTrainer
+
+
+@_dataclasses.dataclass
+class InstanceShardedBagTrainer(_BagTrainer):
+    """Drop-in :class:`~tpumil.train.trainer.BagTrainer` whose per-bag Adam
+    steps run with the bag's INSTANCE axis sharded over ``mesh[inst_axis]``
+    — the multi-chip WSI-training product path (the reference's loop is
+    single-GPU only and simply OOMs past one card, train_tcga.py:55-76).
+
+    Everything the eval schemes (train/schemes.py) touch is inherited
+    unchanged: init, the epoch shuffle and bucket visitation order, the host
+    RNG consumption, count-padding semantics, batched eval, pos_weight. Only
+    the bucket EXECUTOR is overridden: instead of one fused lax.scan of
+    gated steps, each real bag is stepped individually through the
+    explicit-collective shard_map step (make_instance_sharded_train_step),
+    whose gradients match the single-device step to float tolerance
+    (tests/test_parallel.py::test_instance_sharded_train_step_parity).
+    Scheme-level metric parity vs the single-device BagTrainer is pinned in
+    tests/test_wsi_schemes.py::test_run_5fold_cv_inst_sharded_parity.
+
+    Cost model: one dispatch per bag instead of per bucket — the point is
+    bags LARGER THAN ONE CHIP (O(10^5)-instance Camelyon16-40x bags), where
+    per-bag dispatch latency is noise against the sharded matmuls and the
+    alternative is an OOM or the slower fused-Pallas memory path.
+    """
+
+    mesh: object = None
+    inst_axis: str = "inst"
+
+    def __post_init__(self):
+        if self.mesh is None:
+            raise ValueError("InstanceShardedBagTrainer requires a mesh "
+                             "(e.g. Mesh(jax.devices()[:n], ('inst',)))")
+        n = int(self.mesh.shape[self.inst_axis])
+        if n & (n - 1):
+            raise ValueError(
+                f"inst axis size {n} must be a power of two so every "
+                f"power-of-two bag bucket divides evenly across it")
+        if self.dropout_patch > 0.0:
+            raise NotImplementedError(
+                "the inst-sharded step has no dropout rng plumbing; train "
+                "dropout_patch>0 models on the single-device BagTrainer")
+        if self.cfg.passing_v:
+            raise NotImplementedError(
+                "passing_v is not supported by the inst-sharded forward")
+        if self.model != "dsmil":
+            raise NotImplementedError(
+                f"only model='dsmil' has an inst-sharded forward "
+                f"(got {self.model!r})")
+        super().__post_init__()
+        # never route to the fused-Pallas memory path: sharding IS the
+        # memory escape hatch here, and the fused kernels are single-device
+        self.fused_threshold = None
+        self._fused_eligible = False
+        # buckets must divide across the axis (power-of-two family covers
+        # any power-of-two axis <= min_bucket automatically)
+        self.min_bucket = max(self.min_bucket, n)
+        self._inst_step, _ = make_instance_sharded_train_step(
+            self.mesh, optimizer=self.optimizer, axis=self.inst_axis)
+
+    def _train_bucket_any(self, params, opt_state, feats, mask, labels, perm,
+                          lr, keys, real, nmax, resident_bytes=None):
+        """One bucket of per-bag steps, each inst-sharded. Positional
+        contract mirrors the scan paths: step k trains bag ``perm[k]`` and
+        is gated by ``real[k]`` (count-padding dummies are simply skipped —
+        the host-side equivalent of the gated optimizer step, bit-exact for
+        Adam). ``keys`` were drawn by the caller to keep the host RNG stream
+        identical to the single-device trainer; unused (no dropout here)."""
+        if nmax % int(self.mesh.shape[self.inst_axis]):
+            raise ValueError(
+                f"bucket length {nmax} does not divide across the "
+                f"{self.inst_axis} axis ({self.mesh.shape[self.inst_axis]})")
+        perm_np = _np.asarray(perm)
+        real_np = _np.asarray(real)
+        lr = jnp.asarray(lr, jnp.float32)
+        pw = self._pw()
+        total = jnp.zeros((), jnp.float32)
+        for k in range(len(perm_np)):
+            if not real_np[k]:
+                continue
+            i = int(perm_np[k])
+            f, m = shard_bag(self.mesh, feats[i], mask[i], self.inst_axis)
+            params, opt_state, loss = self._inst_step(
+                params, opt_state, f, m, labels[i], lr, pw)
+            total = total + loss
+        return params, opt_state, total
+
+    def train_epochs(self, params, opt_state, store, lrs,
+                     rng: "_np.random.Generator"):
+        """Sequential epochs (one dispatch per BAG — nothing to fuse on this
+        path); visitation and losses match train_epoch's semantics."""
+        losses = []
+        for lr in lrs:
+            params, opt_state, loss = self.train_epoch(
+                params, opt_state, store, lr, rng)
+            losses.append(loss)
+        return params, opt_state, _np.asarray(losses, _np.float64)

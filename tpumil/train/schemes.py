@@ -177,15 +177,33 @@ class WSITrainConfig:
     # state next to the fold weights); restoring additionally needs
     # resume=True.
     fold_state_every: Optional[int] = None
+    # Shard every bag's INSTANCE axis over the first N devices (sequence
+    # parallelism, parallel/bag_shard.py) — the multi-chip product path for
+    # bags larger than one chip's HBM. 0 = single-device. Deliberately NOT
+    # part of the experiment fingerprint: the sharded trainer reproduces the
+    # single-device trajectory to float tolerance
+    # (tests/test_wsi_schemes.py::test_run_5fold_cv_inst_sharded_parity), so
+    # a run may resume on a different shard count.
+    inst_shard: int = 0
 
 
 def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
     model_cfg = DSMILConfig(
         feats_size=cfg.feats_size, num_classes=cfg.num_classes,
         nonlinear=cfg.nonlinear, dropout_v=cfg.dropout_node)
+    optimizer = adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay)
+    if cfg.inst_shard:
+        from jax.sharding import Mesh
+
+        from tpumil.parallel.bag_shard import InstanceShardedBagTrainer
+
+        mesh = Mesh(np.asarray(jax.devices()[:cfg.inst_shard]), ("inst",))
+        return InstanceShardedBagTrainer(
+            model_cfg, optimizer=optimizer, dropout_patch=cfg.dropout_patch,
+            model=cfg.model, mesh=mesh)
     return BagTrainer(
         model_cfg,
-        optimizer=adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay),
+        optimizer=optimizer,
         dropout_patch=cfg.dropout_patch,
         model=cfg.model,
     )
