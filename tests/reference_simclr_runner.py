@@ -187,7 +187,9 @@ class _ColorJitter:
 def _resnet_factory(depth):
     def make(pretrained=False, norm_layer=nn.InstanceNorm2d):
         assert not pretrained, "no downloads in this container"
-        return TorchResNet(depth, norm_layer=norm_layer)
+        # torchvision resnets ship a 1000-way fc head; ResNetSimCLR reads
+        # resnet.fc.in_features then drops the head (resnet_simclr.py:14-16)
+        return TorchResNet(depth, norm_layer=norm_layer, num_classes=1000)
     return make
 
 

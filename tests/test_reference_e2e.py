@@ -373,3 +373,134 @@ def test_reference_e2e_compute_feats(tmp_path, monkeypatch):
     got_master = os.path.join(out, "synfeats", "synfeats.csv")
     assert label_map(ref_master) == label_map(got_master) == \
         {"bag_aa": 0, "bag_bb": 1}
+
+
+# ---------------------------------------------------------------------------
+# SimCLR loop head-to-head (simclr/run.py -> SimCLR.train() vs SimCLRTrainer)
+# ---------------------------------------------------------------------------
+
+def _simclr_patch_tree(root, size=64, seed=3):
+    """Two latent patch classes (red horizontal vs blue vertical stripes) in
+    the reference WSI layout. 64px minimum: the reference's InstanceNorm2d
+    rejects layer4's 1x1 spatial maps in train mode below that."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    paths = []
+    for cls in range(2):
+        for b in range(2):
+            d = os.path.join(root, "WSI", "simclr-demo", "single",
+                             f"c{cls}", f"bag{b}")
+            os.makedirs(d)
+            for i in range(16):
+                img = rng.integers(0, 60, (size, size, 3)).astype(np.uint8)
+                if cls == 0:
+                    img[::4, :, 0] = 200 + rng.integers(0, 40)
+                else:
+                    img[:, ::4, 2] = 200 + rng.integers(0, 40)
+                p = os.path.join(d, f"{i}_0.jpeg")
+                Image.fromarray(img).save(p)
+                paths.append(p)
+    return paths
+
+
+def test_reference_e2e_simclr_loop(tmp_path):
+    """The reference's OWN simclr/run.py -> SimCLR.train() (manifest glob,
+    two-view augmentation per dataset_wrapper.py:48-60, ResNetSimCLR,
+    NT-Xent, Adam(1e-5, 10e-6), best-validation model.pth) runs end-to-end
+    on CPU (tests/reference_simclr_runner.py, env shims only) on a shared
+    patch tree, head-to-head against tpumil's SimCLRTrainer (what
+    cli/simclr_train drives) at the identical configuration.
+
+    Statistical parity (augmentation RNG streams differ by construction):
+      * per-epoch validation NT-Xent losses within 0.05 (observed ~0.004;
+        a wrong temperature/batch/normalization shifts this by >=0.1),
+      * feature-distribution moments of the two trained checkpoints match
+        (pairwise-cosine mean within 0.02, stds within 2x),
+      * the reference's GENUINE training artifact (runs/.../model.pth from
+        a real SimCLR.train() run, not a synthesized state_dict) loads
+        through tpumil's checkpoint surgery with numeric parity vs torch.
+    """
+    from PIL import Image
+
+    import jax.numpy as jnp
+
+    from tpumil.models import embedder as emb_mod
+    from tpumil.models.embedder import EmbedderConfig
+    from tpumil.models.simclr import SimCLRConfig
+    from tpumil.train.simclr_trainer import SimCLRTrainConfig, SimCLRTrainer
+
+    paths = _simclr_patch_tree(str(tmp_path))
+    work = tmp_path / "work"
+    work.mkdir()
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "reference_simclr_runner.py"),
+         "--dataset", "simclr-demo", "--epochs", "3", "--batch_size", "8",
+         "--input_size", "64", "--valid_size", "0.25"],
+        cwd=str(work), capture_output=True, text=True, timeout=900,
+        env={**os.environ, "CUDA_VISIBLE_DEVICES": "", "REF_SEED": "0",
+             "TPUMIL_REFERENCE": R.REFERENCE})
+    assert r.returncode == 0, (r.stdout[-1500:], r.stderr[-3000:])
+    line = [l for l in r.stdout.splitlines()
+            if l.startswith("REF_SIMCLR_RESULT ")]
+    assert line, r.stdout[-1500:]
+    ref = json.loads(line[0].split(" ", 1)[1])
+    assert len(ref["validation_loss"]) == 3 and ref["ckpt"]
+
+    cfg = SimCLRTrainConfig(batch_size=8, epochs=3, lr=1e-5,
+                            weight_decay=1e-5, temperature=0.5,
+                            valid_size=0.25, input_size=64, num_workers=2,
+                            seed=0)
+    tr = SimCLRTrainer(SimCLRConfig(base_model="resnet18", out_dim=256,
+                                    compute_dtype=jnp.float32), cfg)
+    out = tr.fit(paths, str(tmp_path / "tpu_run"))
+    got_valid = out["history"]["valid_loss"]
+    assert len(got_valid) == 3
+
+    # (a) loss-trajectory agreement, epoch by epoch
+    for rv, gv in zip(ref["validation_loss"], got_valid):
+        assert abs(rv - gv) <= 0.05, (ref["validation_loss"], got_valid)
+
+    # (b) + (c): embed the shared patches with BOTH trained checkpoints
+    # through the SAME tpumil surgery
+    ecfg = EmbedderConfig(backbone="resnet18", norm="instance",
+                          num_classes=1, compute_dtype=jnp.float32)
+    imgs = np.stack([np.asarray(Image.open(p), np.uint8) for p in paths])
+
+    def feats_of(ckpt):
+        params = emb_mod.load_simclr_checkpoint(ckpt, ecfg)
+        f, _ = emb_mod.forward(params, jnp.asarray(imgs), ecfg)
+        return np.array(f)
+
+    def sim_stats(f):
+        f = f / (np.linalg.norm(f, axis=1, keepdims=True) + 1e-9)
+        s = (f @ f.T)[~np.eye(len(f), dtype=bool)]
+        return float(s.mean()), float(s.std())
+
+    ref_feats = feats_of(ref["ckpt"])
+    tpu_feats = feats_of(out["checkpoint"])
+    m_ref, s_ref = sim_stats(ref_feats)
+    m_tpu, s_tpu = sim_stats(tpu_feats)
+    assert abs(m_ref - m_tpu) <= 0.02, (m_ref, m_tpu)
+    assert 0.5 <= (s_ref + 1e-9) / (s_tpu + 1e-9) <= 2.0, (s_ref, s_tpu)
+
+    # (c) the genuine reference artifact round-trips with numeric parity:
+    # torch-side h-features (ResNetSimCLR drops the fc head,
+    # resnet_simclr.py:16) vs tpumil's surgered embedder
+    import torch
+
+    from torch_resnet_oracle import TorchResNet
+
+    sd = torch.load(ref["ckpt"], map_location="cpu", weights_only=True)
+    oracle = TorchResNet(18, torch.nn.InstanceNorm2d).eval()
+    osd = oracle.state_dict()
+    vals = list(sd.values())
+    assert len(vals) == len(osd) + 4  # backbone + l1/l2 projection
+    oracle.load_state_dict(
+        {k: v for k, v in zip(osd, vals)}, strict=True)
+    probe = imgs[:4].astype(np.float32) / 255.0
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(
+            np.transpose(probe, (0, 3, 1, 2)).copy())).numpy()
+    np.testing.assert_allclose(ref_feats[:4], want, rtol=8e-3, atol=8e-4)
