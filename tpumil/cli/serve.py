@@ -39,6 +39,14 @@ import numpy as np
 
 MAX_BODY_BYTES = 1 << 30
 
+# Zero-copy wire: decode request bodies as np.frombuffer views of the
+# already-read bytes and stream responses as header + memoryview chunks,
+# instead of np.load/np.save's extra full-payload copies (a 19.3 MB embed
+# batch otherwise gets memcpy'd twice more per request). Same .npy bytes on
+# the wire either way — this is an implementation detail, measured in
+# benchmarks/serve_profile.py (docs/PERF.md "Serving path").
+ZERO_COPY_WIRE = True
+
 
 def _load_npy(body: bytes) -> np.ndarray:
     try:
@@ -47,10 +55,38 @@ def _load_npy(body: bytes) -> np.ndarray:
         raise ValueError(f"body is not a valid .npy array: {exc}") from None
 
 
+def _load_npy_zerocopy(body: bytes) -> np.ndarray:
+    """Parse the .npy header, then VIEW the payload with np.frombuffer — no
+    second copy of the body. The view is read-only, which every consumer
+    tolerates (the micro-batcher copies rows into its fixed batch buffer).
+    Falls back to np.load for anything unusual (fortran order, npy v2+)."""
+    try:
+        f = io.BytesIO(body)
+        version = np.lib.format.read_magic(f)
+        if version == (1, 0):
+            shape, fortran, dtype = np.lib.format.read_array_header_1_0(f)
+            if not fortran and not dtype.hasobject:
+                return np.frombuffer(body, dtype=dtype,
+                                     offset=f.tell()).reshape(shape)
+    except Exception:
+        pass
+    return _load_npy(body)
+
+
 def _dump_npy(arr: np.ndarray) -> bytes:
     buf = io.BytesIO()
     np.save(buf, arr, allow_pickle=False)
     return buf.getvalue()
+
+
+def _npy_chunks(arr: np.ndarray):
+    """.npy response as [header bytes, payload memoryview] — the payload is
+    written straight from the array's buffer (no BytesIO/getvalue copies)."""
+    arr = np.ascontiguousarray(arr)
+    buf = io.BytesIO()
+    np.lib.format.write_array_header_1_0(
+        buf, np.lib.format.header_data_from_array_1_0(arr))
+    return [buf.getvalue(), memoryview(arr).cast("B")]
 
 
 def _load_npz(body: bytes) -> dict:
@@ -84,12 +120,16 @@ def make_handler(service):
 
         # -- helpers --------------------------------------------------------
 
-        def _send(self, code: int, body: bytes, ctype: str) -> None:
+        def _send(self, code: int, body, ctype: str) -> None:
+            """body: bytes or a list of buffer chunks (zero-copy wire)."""
+            chunks = body if isinstance(body, list) else [body]
             self.send_response(code)
             self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Content-Length",
+                             str(sum(len(c) for c in chunks)))
             self.end_headers()
-            self.wfile.write(body)
+            for c in chunks:
+                self.wfile.write(c)
 
         def _send_json(self, code: int, obj) -> None:
             self._send(code, json.dumps(obj).encode(), "application/json")
@@ -129,16 +169,19 @@ def make_handler(service):
         def do_POST(self):  # noqa: N802
             route = self.path.split("?", 1)[0]
             try:
+                load = _load_npy_zerocopy if ZERO_COPY_WIRE else _load_npy
                 if route == "/v1/embed":
-                    arr = _load_npy(self._read_body())
+                    arr = load(self._read_body())
                     feats = service.embed(arr)
-                    self._send(200, _dump_npy(feats), "application/x-npy")
+                    out = (_npy_chunks(feats) if ZERO_COPY_WIRE
+                           else _dump_npy(feats))
+                    self._send(200, out, "application/x-npy")
                 elif route == "/v1/predict":
-                    arr = _load_npy(self._read_body())
+                    arr = load(self._read_body())
                     result = service.predict(arr)
                     self._send_json(200, self._prediction_json(result))
                 elif route == "/v1/predict_patches":
-                    arr = _load_npy(self._read_body())
+                    arr = load(self._read_body())
                     result = service.predict_patches(arr)
                     self._send_json(200, self._prediction_json(result))
                 elif route == "/v1/heatmap":

@@ -65,6 +65,14 @@ class ResNetConfig:
     # residual/norm stream stays exact — a bandwidth experiment for the
     # parity tier (docs/PERF.md "Precision tiers").
     operand_dtype: Optional[object] = None
+    # Route InstanceNorm(+trailing ReLU) through the single-pass Pallas
+    # kernel (ops/in_pallas.py): one HBM read+write per activation instead
+    # of XLA's reduce+normalize kernel pair. Inference-path only (the
+    # kernel has no custom VJP); falls back to the XLA norm per call site
+    # when the shape is unsupported (C not 64/k*128, odd H*W at C=64).
+    # Measured on chip in benchmarks/in_epilogue_probe.py (docs/PERF.md
+    # "conv+IN epilogue").
+    fused_in: bool = False
 
     @property
     def conv_precision(self):
@@ -214,6 +222,20 @@ def _norm(params, x, conv_name: str, cfg: ResNetConfig):
     return (x.astype(jnp.float32) * scale + bias).astype(dtype)
 
 
+def _norm_relu(params, x, conv_name: str, cfg: ResNetConfig, relu: bool):
+    """_norm (+ trailing ReLU), routed through the fused single-pass Pallas
+    InstanceNorm when cfg.fused_in and the shape qualifies."""
+    if cfg.fused_in and cfg.norm == "instance":
+        c, s = x.shape[-1], x.shape[1] * x.shape[2]
+        if (c == 64 and s % 2 == 0) or (c % 128 == 0):
+            from tpumil.ops.in_pallas import fused_instance_norm
+
+            interpret = jax.default_backend() != "tpu"
+            return fused_instance_norm(x, relu=relu, interpret=interpret)
+    out = _norm(params, x, conv_name, cfg)
+    return jax.nn.relu(out) if relu else out
+
+
 def _maxpool_3x3_s2(x):
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max,
@@ -249,8 +271,7 @@ def forward(params: Dict[str, jnp.ndarray], x, cfg: ResNetConfig):
         x = _stem_space_to_depth(x, params["conv1.weight"], dtype, prec, od)
     else:
         x = _conv(x, params["conv1.weight"], 2, dtype, prec, od)
-    x = _norm(params, x, "conv1.weight", cfg)
-    x = jax.nn.relu(x)
+    x = _norm_relu(params, x, "conv1.weight", cfg, relu=True)
     x = _maxpool_3x3_s2(x)
 
     in_ch = 64
@@ -262,19 +283,19 @@ def forward(params: Dict[str, jnp.ndarray], x, cfg: ResNetConfig):
             identity = x
             if cfg.block == "basic":
                 h = _conv(x, params[f"{prefix}.conv1.weight"], stride, dtype, prec, od)
-                h = jax.nn.relu(_norm(params, h, f"{prefix}.conv1.weight", cfg))
+                h = _norm_relu(params, h, f"{prefix}.conv1.weight", cfg, relu=True)
                 h = _conv(h, params[f"{prefix}.conv2.weight"], 1, dtype, prec, od)
-                h = _norm(params, h, f"{prefix}.conv2.weight", cfg)
+                h = _norm_relu(params, h, f"{prefix}.conv2.weight", cfg, relu=False)
             else:
                 h = _conv(x, params[f"{prefix}.conv1.weight"], 1, dtype, prec, od)
-                h = jax.nn.relu(_norm(params, h, f"{prefix}.conv1.weight", cfg))
+                h = _norm_relu(params, h, f"{prefix}.conv1.weight", cfg, relu=True)
                 h = _conv(h, params[f"{prefix}.conv2.weight"], stride, dtype, prec, od)
-                h = jax.nn.relu(_norm(params, h, f"{prefix}.conv2.weight", cfg))
+                h = _norm_relu(params, h, f"{prefix}.conv2.weight", cfg, relu=True)
                 h = _conv(h, params[f"{prefix}.conv3.weight"], 1, dtype, prec, od)
-                h = _norm(params, h, f"{prefix}.conv3.weight", cfg)
+                h = _norm_relu(params, h, f"{prefix}.conv3.weight", cfg, relu=False)
             if stride != 1 or in_ch != out_ch:
                 identity = _conv(x, params[f"{prefix}.downsample.0.weight"], stride, dtype, prec, od)
-                identity = _norm(params, identity, f"{prefix}.downsample.0.weight", cfg)
+                identity = _norm_relu(params, identity, f"{prefix}.downsample.0.weight", cfg, relu=False)
             x = jax.nn.relu(h + identity)
             in_ch = out_ch
     # adaptive average pool to 1x1
