@@ -1,0 +1,54 @@
+"""Single-pass Pallas InstanceNorm (ops/in_pallas.py) — parity vs the XLA
+norm (interpret mode on CPU) and the fused_in ResNet flag.
+
+On-chip timing lives in benchmarks/in_epilogue_probe.py; the measured
+outcome is a NEGATIVE (docs/PERF.md "conv+IN epilogue") — the kernel is
+retained tested, like the fused stem, as the starting point if Mosaic's
+reduce pipelining improves. fused_in stays default-False.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from tpumil.models import resnet
+from tpumil.ops.in_pallas import fused_instance_norm
+
+
+@pytest.mark.parametrize("shape", [(4, 8, 8, 64), (4, 4, 4, 128),
+                                   (2, 4, 4, 256), (8, 2, 2, 512),
+                                   (3, 5, 2, 64)])
+def test_fused_in_parity(shape, rng):
+    """Matches resnet._norm (torch InstanceNorm2d semantics) across the
+    ResNet18 channel family, incl. the C=64 lane-folding path and a batch
+    that does not divide the 2MB block target."""
+    cfg = resnet.ResNetConfig(depth=18, norm="instance")
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32) * 3 + 1)
+    want = np.asarray(resnet._norm({}, x, "conv1.weight", cfg))
+    got = np.asarray(fused_instance_norm(x, relu=False, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    got_r = np.asarray(fused_instance_norm(x, relu=True, interpret=True))
+    np.testing.assert_allclose(got_r, np.maximum(want, 0.0),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_in_validation():
+    x = jnp.zeros((2, 4, 4, 96))
+    with pytest.raises(ValueError, match="channel"):
+        fused_instance_norm(x, interpret=True)
+    with pytest.raises(ValueError, match="even"):
+        fused_instance_norm(jnp.zeros((2, 3, 3, 64)), interpret=True)
+
+
+def test_resnet_fused_in_forward_parity(rng):
+    """ResNetConfig.fused_in routes every qualifying IN(+ReLU) site through
+    the kernel; the full forward matches the XLA path (f32, reduction-order
+    noise only — same bar as the s2d stem pin)."""
+    cfg = resnet.ResNetConfig(depth=18, norm="instance")
+    cfg_f = resnet.ResNetConfig(depth=18, norm="instance", fused_in=True)
+    params = resnet.init_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(rng.random((2, 64, 64, 3)).astype(np.float32))
+    a = np.asarray(resnet.forward(params, x, cfg))
+    b = np.asarray(resnet.forward(params, x, cfg_f))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)

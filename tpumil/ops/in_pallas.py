@@ -57,11 +57,16 @@ def _kernel(*refs, bn, s, count, folded, relu):
     ssum = jnp.sum(x, axis=1)                    # [bn, 128]
     ssq = jnp.sum(x * x, axis=1)                 # [bn, 128]
     if folded:
+        # HIGHEST precision is load-bearing: at DEFAULT the MXU rounds the
+        # f32 partial sums to bf16 inputs (measured 7.8e-3 parity error on
+        # chip; exact with HIGHEST — the fold matrix itself is 0/1)
         fold = refs[1][:]
         ssum = jax.lax.dot_general(ssum, fold, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
         ssq = jax.lax.dot_general(ssq, fold, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
     mean = ssum / count
     var = ssq / count - mean * mean              # biased, like torch IN
     inv = jax.lax.rsqrt(var + EPS)
