@@ -62,3 +62,17 @@ def test_mil_cv_end_to_end(rng, tmp_path):
     mean, std, accs = run_mil_cv(parsed, cfg, log=lambda s: None)
     assert len(accs) == 4
     assert mean > 0.85, f"synthetic separable CV accuracy too low: {mean}"
+
+
+def test_mil_cv_inst_sharded_parity(rng):
+    """run_mil_cv with cfg.inst_shard=8 (cli/train_mil --inst_shard) matches
+    the single-device CV fold accuracies (trajectories agree to float
+    tolerance; accs are rank-discrete on this separable fixture)."""
+    bags = make_separable_bags(rng, num_bags=20, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    kw = dict(num_feats=16, lr=1e-3, num_epochs=3, cv_fold=5, seed=0,
+              verbose=False)
+    _, _, want = run_mil_cv(bags, MILBenchConfig(**kw), log=lambda s: None)
+    _, _, got = run_mil_cv(bags, MILBenchConfig(**kw, inst_shard=8),
+                           log=lambda s: None)
+    assert got == want

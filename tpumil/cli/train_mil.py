@@ -24,6 +24,11 @@ def main(argv=None):
     parser.add_argument("--weight_decay", default=5e-3, type=float, help="Weight decay [5e-3]")
     parser.add_argument("--model", default="dsmil", type=str, help="MIL model [dsmil|abmil|meanpool|maxpool]")
     parser.add_argument("--seed", default=0, type=int)
+    parser.add_argument("--inst_shard", default=0, type=int, metavar="N",
+                        help="Shard every bag's instance axis over the "
+                             "first N devices (power of two); same "
+                             "trajectory as single-device to float "
+                             "tolerance [0 = off]")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -50,7 +55,7 @@ def main(argv=None):
     bags = parse_mil_file(path, num_feats=num_feats)
     cfg = MILBenchConfig(num_feats=num_feats, lr=args.lr, num_epochs=args.num_epoch,
                          cv_fold=args.cv_fold, weight_decay=args.weight_decay,
-                         seed=args.seed)
+                         seed=args.seed, inst_shard=args.inst_shard)
     run_mil_cv(bags, cfg, model=args.model)
     return 0
 

@@ -47,6 +47,10 @@ class MILBenchConfig:
     # torch Linear/Conv1d defaults). The deviation is bounded on the
     # vendored musk1-format fixture in tests/test_mil_bench.py.
     init: str = "orthogonal"
+    # Shard every bag's instance axis over the first N devices (same
+    # machinery as WSITrainConfig.inst_shard; single-device trajectory to
+    # float tolerance). 0 = single-device.
+    inst_shard: int = 0
 
 
 def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
@@ -83,11 +87,21 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
     # one trainer (and one set of compiled programs) for all folds; the
     # fold's pos_weight is runtime data, not a compile-time constant
     model_cfg = DSMILConfig(feats_size=cfg.num_feats, num_classes=1)
-    trainer = BagTrainer(
-        model_cfg,
-        optimizer=adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay),
-        model=model or cfg.model,
-    )
+    optimizer = adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay)
+    if cfg.inst_shard:
+        from jax.sharding import Mesh
+
+        from tpumil.parallel.bag_shard import InstanceShardedBagTrainer
+
+        trainer = InstanceShardedBagTrainer(
+            model_cfg, optimizer=optimizer, model=model or cfg.model,
+            mesh=Mesh(np.asarray(jax.devices()[:cfg.inst_shard]), ("inst",)))
+    else:
+        trainer = BagTrainer(
+            model_cfg,
+            optimizer=optimizer,
+            model=model or cfg.model,
+        )
     if global_store is not None:
         # the global store stays HBM-resident while fold subsets train
         trainer.extra_resident_bytes = global_store.nbytes()
