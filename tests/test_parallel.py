@@ -338,3 +338,50 @@ def test_sharded_train_state_resume_and_retopology(rng, tmp_path):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-4, atol=1e-5,
                                    err_msg=f"param {k} diverged on 4-dev")
+
+
+def test_data_parallel_bag_trainer_mesh_invariance(rng):
+    """DataParallelBagTrainer's minibatch semantics are mesh-shape
+    INVARIANT: the same epoch on a 1-device mesh and on the full 8-device
+    (data=4, inst=2) mesh produces the same losses to float tolerance
+    (XLA partitions the reductions differently — not bitwise), including a
+    ragged final chunk that needs bag-axis padding."""
+    import jax
+
+    from tpumil.data.bags import Bag
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.parallel.mesh import make_mesh
+    from tpumil.parallel.sharded_train import DataParallelBagTrainer
+
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    bags = [Bag(rng.standard_normal((sz, 16)).astype(np.float32),
+                np.asarray([float(i % 2)], np.float32), f"b{i}")
+            for i, sz in enumerate([20, 33, 41, 28, 37])]  # 5 bags: ragged
+
+    def run(n_dev):
+        tr = DataParallelBagTrainer(cfg, mesh=make_mesh(n_dev))
+        params, opt = tr.init(jax.random.PRNGKey(0))
+        losses = []
+        erng = np.random.default_rng(3)
+        for _ in range(2):
+            params, opt, loss = tr.train_epoch(params, opt, bags, 1e-3, erng)
+            losses.append(loss)
+        scores, _ = tr.predict(params, bags)
+        return np.asarray(losses), scores
+
+    l1, s1 = run(1)
+    l8, s8 = run(8)
+    np.testing.assert_allclose(l8, l1, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(s8, s1, rtol=1e-4, atol=1e-5)
+
+
+def test_data_parallel_bag_trainer_validation(rng):
+    from tpumil.models.dsmil import DSMILConfig
+    from tpumil.parallel.mesh import make_mesh
+    from tpumil.parallel.sharded_train import DataParallelBagTrainer
+
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    with pytest.raises(ValueError, match="mesh"):
+        DataParallelBagTrainer(cfg)
+    with pytest.raises(NotImplementedError, match="dropout"):
+        DataParallelBagTrainer(cfg, mesh=make_mesh(8), dropout_patch=0.5)

@@ -397,3 +397,34 @@ def test_inst_sharded_trainer_validation():
         InstanceShardedBagTrainer(cfg, mesh=mesh, dropout_patch=0.5)
     with pytest.raises(NotImplementedError, match="dsmil"):
         InstanceShardedBagTrainer(cfg, mesh=mesh, model="abmil")
+
+
+def test_run_5fold_cv_data_parallel(tmp_path, rng):
+    """run_5fold_cv with cfg.data_parallel=8: ONE minibatch Adam step per
+    bucket chunk sharded over the (data, inst) mesh — a documented
+    deviation from per-bag stepping, so no trajectory parity is claimed;
+    the scheme must learn the planted signal end-to-end, export weights,
+    and refuse to adopt a single-device run's markers (the fingerprint
+    includes the mode)."""
+    bags = make_separable_bags(rng, num_bags=20, feats=16, signal=6.0,
+                               pos_inst_frac=0.5)
+    kw = dict(feats_size=16, num_classes=1, num_epochs=8, lr=2e-3,
+              stop_epochs=8, verbose=False, seed=0)
+    save_dir = str(tmp_path / "w")
+    out = run_5fold_cv(bags, WSITrainConfig(**kw, data_parallel=8),
+                       log=lambda s: None, save_dir=save_dir)
+    assert len(out["folds"]) == 5
+    assert out["mean_accuracy"] > 0.6
+    assert len(glob.glob(os.path.join(save_dir, "fold_*.pth"))) == 5
+
+    # a dp run's markers must NOT satisfy a single-device --resume
+    logs = []
+    run_5fold_cv(bags,
+                 WSITrainConfig(**{**kw, "num_epochs": 1, "stop_epochs": 1},
+                                resume=True),
+                 log=logs.append, save_dir=save_dir)
+    assert any("different config" in l for l in logs)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_5fold_cv(bags, WSITrainConfig(**kw, data_parallel=8,
+                                          inst_shard=8), log=lambda s: None)

@@ -96,6 +96,10 @@ def main(argv=None):
                    str(cfg.embedder.patch_size), "--precision",
                    cfg.embedder.precision, "--tree_fusion",
                    cfg.embedder.tree_fusion]
+        if not cfg.embedder.space_to_depth:
+            cf_args += ["--no-space_to_depth"]
+        if cfg.embedder.data_parallel:
+            cf_args += ["--data_parallel", str(cfg.embedder.data_parallel)]
         if cfg.embedder.weights_high:
             cf_args += ["--weights_high", cfg.embedder.weights_high]
         if cfg.embedder.weights_low:

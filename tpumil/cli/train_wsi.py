@@ -58,7 +58,18 @@ def main(argv=None):
                              "training for bags larger than one chip's HBM; "
                              "same trajectory as single-device to float "
                              "tolerance [0 = off]")
+    parser.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                        help="Minibatch training sharded over a (data, "
+                             "inst) mesh of the first N devices: ONE Adam "
+                             "step per bucket chunk (loss averaged over up "
+                             "to chunk_size bags) — a documented deviation "
+                             "from the reference's per-bag stepping, for "
+                             "throughput. Mutually exclusive with "
+                             "--inst_shard [0 = off]")
     args = parser.parse_args(argv)
+    if args.inst_shard and args.data_parallel:
+        parser.error("--inst_shard and --data_parallel are mutually "
+                     "exclusive (per-bag vs minibatch optimization)")
     if args.eval_scheme not in ("5-fold-cv", "5-time-train+valid+test",
                                 "5-fold-cv-standalone-test"):
         parser.error(f"unknown eval scheme {args.eval_scheme}")
@@ -95,7 +106,7 @@ def main(argv=None):
         nonlinear=bool(args.non_linearity), average=args.average,
         seed=args.seed, model=args.model, eval_interval=args.eval_interval,
         resume=args.resume, fold_state_every=args.fold_state_every or None,
-        inst_shard=args.inst_shard)
+        inst_shard=args.inst_shard, data_parallel=args.data_parallel)
 
     save_dir = os.path.join(args.save_root, datetime.date.today().strftime("%Y%m%d"))
     if args.eval_scheme == "5-fold-cv":

@@ -53,6 +53,12 @@ class EmbedderStageConfig:
     # (bf16_3x, maxabs 7e-5) at ~1.7x the f32x rate; f32x = true-f32 torch
     # parity. See benchmarks/bf16_parity.py + docs/PERF.md "Precision tiers".
     precision: str = "f32"
+    # the benchmarked stem rewrite (identical features to 1e-4); mirror of
+    # cli/compute_feats --space_to_depth
+    space_to_depth: bool = True
+    # shard each patch batch over the first N devices (0 = single-chip);
+    # mirror of cli/compute_feats --data_parallel
+    data_parallel: int = 0
 
 
 @dataclasses.dataclass

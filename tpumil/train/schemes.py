@@ -199,6 +199,13 @@ class WSITrainConfig:
     # (tests/test_wsi_schemes.py::test_run_5fold_cv_inst_sharded_parity), so
     # a run may resume on a different shard count.
     inst_shard: int = 0
+    # Train each bucket chunk as ONE minibatch Adam step sharded over a
+    # (data, inst) mesh of the first N devices — a DOCUMENTED DEVIATION
+    # from the reference's per-bag stepping (fewer, smoother steps; the
+    # throughput mode; parallel/sharded_train.py). Unlike inst_shard this
+    # changes the optimization dynamics, so it IS part of the experiment
+    # fingerprint. 0 = off. Mutually exclusive with inst_shard.
+    data_parallel: int = 0
 
 
 def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
@@ -206,6 +213,9 @@ def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
         feats_size=cfg.feats_size, num_classes=cfg.num_classes,
         nonlinear=cfg.nonlinear, dropout_v=cfg.dropout_node)
     optimizer = adam_torch(betas=(0.5, 0.9), weight_decay=cfg.weight_decay)
+    if cfg.inst_shard and cfg.data_parallel:
+        raise ValueError("inst_shard and data_parallel are mutually "
+                         "exclusive (per-bag vs minibatch optimization)")
     if cfg.inst_shard:
         from jax.sharding import Mesh
 
@@ -215,6 +225,13 @@ def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
         return InstanceShardedBagTrainer(
             model_cfg, optimizer=optimizer, dropout_patch=cfg.dropout_patch,
             model=cfg.model, mesh=mesh)
+    if cfg.data_parallel:
+        from tpumil.parallel.mesh import make_mesh
+        from tpumil.parallel.sharded_train import DataParallelBagTrainer
+
+        return DataParallelBagTrainer(
+            model_cfg, optimizer=optimizer, dropout_patch=cfg.dropout_patch,
+            model=cfg.model, mesh=make_mesh(cfg.data_parallel))
     return BagTrainer(
         model_cfg,
         optimizer=optimizer,
@@ -649,7 +666,12 @@ def _cfg_fingerprint(cfg: WSITrainConfig, scheme: str) -> str:
             f"{cfg.stop_epochs}|{cfg.weight_decay}|{cfg.num_classes}|"
             f"{cfg.feats_size}|{cfg.nonlinear}|{cfg.dropout_patch}|"
             f"{cfg.dropout_node}|{cfg.split}|{cfg.average}|{cfg.eta_min}|"
-            f"{cfg.eval_interval}")
+            f"{cfg.eval_interval}"
+            # minibatch mode changes the optimization dynamics — distinct
+            # experiment. inst_shard deliberately excluded (same trajectory
+            # to float tolerance); the suffix form keeps every pre-dp
+            # fingerprint string (and its saved markers) valid.
+            + (f"|dp{cfg.data_parallel}" if cfg.data_parallel else ""))
 
 
 def _try_resume_fold(cfg: WSITrainConfig, save_dir: Optional[str], fold: int,
