@@ -161,10 +161,30 @@ def bench_stream():
     return bs()
 
 
+def bench_serve_host():
+    """Host-only (no TPU): the serving wire ceiling (docs/PERF.md
+    'Zero-copy wire'). Reports the zero-copy loopback rate."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "serve_profile.py")],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    if r.returncode != 0:
+        return {"metric": "serve_host_ceiling", "error": r.stderr[-500:]}
+    line = [l for l in r.stdout.splitlines() if "zero-copy wire" in l][-1]
+    pps = float(line.split("(")[1].split("patches/s")[0].replace(",", ""))
+    return {"metric": "serve_host_ceiling", "value": pps,
+            "unit": "patches/s host-side (stub service, loopback HTTP, "
+                    "zero-copy wire)", "vs_baseline": None,
+            "raw": line.strip()}
+
+
 SUITES = {"feats": bench_feats, "agg": bench_agg, "pallas": bench_pallas,
           "pallas_train": bench_pallas_train, "simclr": bench_simclr,
           "stream": bench_stream, "crossover": bench_crossover,
-          "bf16": bench_bf16}
+          "bf16": bench_bf16, "serve_host": bench_serve_host}
 
 
 def main():
