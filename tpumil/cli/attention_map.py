@@ -10,7 +10,8 @@ import sys
 
 def load_milnet(embedder_weights: str, aggregator_weights: str,
                 num_classes: int, norm: str = "instance",
-                backbone: str = "resnet18", precision: str = "f32"):
+                backbone: str = "resnet18", precision: str = "f32",
+                space_to_depth: bool = False):
     """Shared model assembly of the inference scripts: embedder via the
     popitem/positional surgery (attention_map.py:151-160), aggregator from a
     reference-schema (or tpumil-ABMIL) .pth, instance head overwritten from
@@ -36,6 +37,7 @@ def load_milnet(embedder_weights: str, aggregator_weights: str,
     dtype, tier = embedder.precision_from_flag(precision)
     emb_cfg = EmbedderConfig(backbone=backbone, norm=norm,
                              num_classes=agg_cfg.num_classes,
+                             space_to_depth=space_to_depth,
                              compute_dtype=dtype, precision=tier)
     if embedder_weights == "ImageNet":
         print("ImageNet embedder requested; supply a local .pth for real "

@@ -18,8 +18,9 @@ over plain HTTP (stdlib only — no server framework dependency):
                               -> PNG attention map (scores/detected in
                                  X-Tpumil-* headers)
 
-Arrays travel as raw ``.npy`` bytes (``np.save``/``np.load``) — exact,
-self-describing, and zero-copy on the client. ``?attention=1`` includes the
+Arrays travel as raw ``.npy`` bytes — exact and self-describing; the server
+decodes bodies as zero-copy ``np.frombuffer`` views and streams responses as
+header+memoryview chunks (see ZERO_COPY_WIRE). ``?attention=1`` includes the
 [N, C] attention matrix in prediction responses. Concurrent requests are
 packed into fixed-size device batches (see infer/service.py).
 
@@ -230,11 +231,14 @@ def build_service(args):
         emb_params, emb_cfg, agg_params, model_name = load_milnet(
             args.embedder_weights, args.aggregator_weights,
             args.num_classes, norm=args.norm, backbone=args.backbone,
-            precision=args.precision)
+            precision=args.precision,
+            space_to_depth=getattr(args, "space_to_depth", False))
     else:
         dtype, tier = embedder.precision_from_flag(args.precision)
         emb_cfg = EmbedderConfig(backbone=args.backbone, norm=args.norm,
                                  num_classes=args.num_classes,
+                                 space_to_depth=getattr(args, "space_to_depth",
+                                                        False),
                                  compute_dtype=dtype, precision=tier)
         emb_params = embedder.load_simclr_checkpoint(
             args.embedder_weights, emb_cfg)
@@ -274,6 +278,13 @@ def main(argv=None):
                         choices=("bf16", "f32", "f32h", "f32x"),
                         help="f32 default matches the shipped reference "
                              "thresholds; bf16 for throughput")
+    parser.add_argument("--space_to_depth", action=argparse.BooleanOptionalAction,
+                        default=False,
+                        help="Benchmarked stem rewrite (features identical "
+                             "to 1e-4, faster). Default OFF so serving with "
+                             "the reference's shipped aggregator thresholds "
+                             "stays exact; turn ON to match features from "
+                             "compute_feats (whose default is ON)")
     parser.add_argument("--batch_size", type=int, default=128)
     parser.add_argument("--patch_size", type=int, default=224)
     parser.add_argument("--max_wait_ms", type=float, default=8.0)
