@@ -706,3 +706,56 @@ def test_simclr_resume_adopts_legacy_state_format(tmp_path, rng):
                                       resume=True)
     assert any("Adopting legacy-format train state" in l for l in logs)
     assert any("Resuming SimCLR pretraining at epoch 1" in l for l in logs)
+
+
+def test_simclr_resnet50_torch_parity(rng, tmp_path):
+    """The reference's SECOND SimCLR backbone (resnet_simclr.py:10-11 builds
+    resnet18 AND resnet50 with InstanceNorm2d): tpumil's resnet50 SimCLR
+    forward must match the torch oracle on (h, z), and its exported
+    checkpoint must flow through the embedder surgery with the 2048-d
+    feature width."""
+    import torch
+
+    from torch_resnet_oracle import TorchResNet
+    from tpumil.io import torch_ckpt
+    from tpumil.models import embedder
+    from tpumil.models import simclr as simclr_model
+    from tpumil.models.embedder import EmbedderConfig
+    from tpumil.models.simclr import SimCLRConfig
+
+    cfg = SimCLRConfig(base_model="resnet50", out_dim=256,
+                       compute_dtype=jnp.float32)
+    assert cfg.num_ftrs == 2048
+    params = simclr_model.init_params(jax.random.PRNGKey(0), cfg)
+    x = rng.random((2, 64, 64, 3)).astype(np.float32)
+    h, z = simclr_model.forward(params, jnp.asarray(x), cfg)
+    assert h.shape == (2, 2048) and z.shape == (2, 256)
+
+    # torch oracle on the exported state_dict: backbone positionally, then
+    # the projection MLP applied by hand (ResNetSimCLR forward semantics)
+    ckpt = str(tmp_path / "r50.pth")
+    torch_ckpt.save_state_dict(simclr_model.export_state_dict(params, cfg),
+                               ckpt)
+    sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+    oracle = TorchResNet(50, torch.nn.InstanceNorm2d).eval()
+    osd = oracle.state_dict()
+    vals = list(sd.values())
+    assert len(vals) == len(osd) + 4
+    oracle.load_state_dict({k: v for k, v in zip(osd, vals)}, strict=True)
+    with torch.no_grad():
+        th = oracle(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()))
+        tz = torch.relu(th @ sd["l1.weight"].T + sd["l1.bias"])
+        tz = tz @ sd["l2.weight"].T + sd["l2.bias"]
+    np.testing.assert_allclose(np.asarray(h), th.numpy(), rtol=8e-3,
+                               atol=8e-4)
+    np.testing.assert_allclose(np.asarray(z), tz.numpy(), rtol=8e-3,
+                               atol=2e-3)
+
+    # embedder surgery at the resnet50 width
+    emb_cfg = EmbedderConfig(backbone="resnet50", num_classes=1,
+                             compute_dtype=jnp.float32)
+    emb_params = embedder.load_simclr_checkpoint(ckpt, emb_cfg)
+    feats, _ = embedder.forward(emb_params, jnp.asarray(x), emb_cfg)
+    assert feats.shape == (2, 2048)
+    np.testing.assert_allclose(np.asarray(feats), th.numpy(), rtol=8e-3,
+                               atol=8e-4)
