@@ -224,10 +224,14 @@ def _norm(params, x, conv_name: str, cfg: ResNetConfig):
 
 def _norm_relu(params, x, conv_name: str, cfg: ResNetConfig, relu: bool):
     """_norm (+ trailing ReLU), routed through the fused single-pass Pallas
-    InstanceNorm when cfg.fused_in and the shape qualifies."""
+    InstanceNorm when cfg.fused_in and the shape qualifies. C is capped at
+    128: wider layers need lane-axis-blocked BlockSpecs, which the remote
+    Mosaic AOT compile helper rejects (measured rc=1 at C>=256 — docs/
+    PERF.md "conv+IN epilogue"); those layers' IN cost is ~0.5 us/img
+    anyway, so they stay on the XLA norm."""
     if cfg.fused_in and cfg.norm == "instance":
         c, s = x.shape[-1], x.shape[1] * x.shape[2]
-        if (c == 64 and s % 2 == 0) or (c % 128 == 0):
+        if (c == 64 and s % 2 == 0) or c == 128:
             from tpumil.ops.in_pallas import fused_instance_norm
 
             interpret = jax.default_backend() != "tpu"
