@@ -314,9 +314,6 @@ class InstanceShardedBagTrainer(_BagTrainer):
                      rng: "_np.random.Generator"):
         """Sequential epochs (one dispatch per BAG — nothing to fuse on this
         path); visitation and losses match train_epoch's semantics."""
-        losses = []
-        for lr in lrs:
-            params, opt_state, loss = self.train_epoch(
-                params, opt_state, store, lr, rng)
-            losses.append(loss)
-        return params, opt_state, _np.asarray(losses, _np.float64)
+        from tpumil.train.trainer import sequential_epochs
+
+        return sequential_epochs(self, params, opt_state, store, lrs, rng)

@@ -183,9 +183,7 @@ class DataParallelBagTrainer(_BagTrainer):
 
     def train_epochs(self, params, opt_state, store, lrs,
                      rng: "_np.random.Generator"):
-        losses = []
-        for lr in lrs:
-            params, opt_state, loss = self.train_epoch(
-                params, opt_state, store, lr, rng)
-            losses.append(loss)
-        return params, opt_state, _np.asarray(losses, _np.float64)
+        """Sequential epochs (one minibatch dispatch per bucket chunk)."""
+        from tpumil.train.trainer import sequential_epochs
+
+        return sequential_epochs(self, params, opt_state, store, lrs, rng)

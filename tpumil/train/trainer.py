@@ -135,6 +135,19 @@ def xla_eval_workingset_bytes(total_instances: int,
                * total_instances)
 
 
+def sequential_epochs(trainer, params, opt_state, store, lrs, rng):
+    """len(lrs) epochs as plain sequential train_epoch calls — the
+    train_epochs implementation for the sharded trainers (per-bag or
+    per-chunk dispatches; nothing to fuse). Returns
+    (params, opt_state, mean_loss_per_epoch [E])."""
+    losses = []
+    for lr in lrs:
+        params, opt_state, loss = trainer.train_epoch(
+            params, opt_state, store, lr, rng)
+        losses.append(loss)
+    return params, opt_state, np.asarray(losses, np.float64)
+
+
 @dataclasses.dataclass
 class BagTrainer:
     """Per-bag DSMIL trainer with reference-equivalent optimization.
