@@ -470,3 +470,67 @@ def test_http_errors(http_server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         _post(http_server + "/v1/nope", _npy_bytes(bad))
     assert exc.value.code == 404
+
+
+# ---------------------------------------------------------------------------
+# Zero-copy .npy wire functions (cli/serve.py): the default request decode is
+# an np.frombuffer VIEW of the body and the response is header+memoryview
+# chunks; anything unusual must fall back to np.load with identical results.
+# ---------------------------------------------------------------------------
+
+
+def _npy_v1_bytes(arr):
+    buf = io.BytesIO()
+    np.save(buf, arr, allow_pickle=False)
+    return buf.getvalue()
+
+
+def test_zerocopy_decode_is_a_view():
+    from tpumil.cli.serve import _load_npy_zerocopy
+
+    arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    body = _npy_v1_bytes(arr)
+    out = _load_npy_zerocopy(body)
+    np.testing.assert_array_equal(out, arr)
+    # genuinely zero-copy: the result views the request body's buffer
+    assert out.base is not None and not out.flags.writeable
+
+
+def test_zerocopy_fortran_falls_back_to_np_load():
+    from tpumil.cli.serve import _load_npy_zerocopy
+
+    arr = np.asfortranarray(np.arange(12, dtype=np.float64).reshape(3, 4))
+    body = _npy_v1_bytes(arr)
+    out = _load_npy_zerocopy(body)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_zerocopy_npy_v2_header_falls_back():
+    from tpumil.cli.serve import _load_npy_zerocopy
+
+    arr = np.arange(6, dtype=np.int32)
+    buf = io.BytesIO()
+    np.lib.format.write_array(buf, arr, version=(2, 0))
+    out = _load_npy_zerocopy(buf.getvalue())
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_zerocopy_corrupt_body_raises_valueerror():
+    from tpumil.cli.serve import _load_npy_zerocopy
+
+    with pytest.raises(ValueError):
+        _load_npy_zerocopy(b"definitely not an npy body")
+
+
+def test_npy_chunks_bytes_identical_to_np_save():
+    from tpumil.cli.serve import _dump_npy, _npy_chunks
+
+    for arr in (np.arange(10, dtype=np.float32),
+                np.ones((4, 5), np.uint8)):
+        chunks = _npy_chunks(arr)
+        assert b"".join(bytes(c) for c in chunks) == _dump_npy(arr)
+    # fortran input: _npy_chunks re-encodes C-order (np.save would keep
+    # fortran_order=True) — different bytes, same decoded array
+    f = np.asfortranarray(np.arange(12.0).reshape(3, 4))
+    wire = b"".join(bytes(c) for c in _npy_chunks(f))
+    np.testing.assert_array_equal(np.load(io.BytesIO(wire)), f)

@@ -224,14 +224,15 @@ def _norm(params, x, conv_name: str, cfg: ResNetConfig):
 
 def _norm_relu(params, x, conv_name: str, cfg: ResNetConfig, relu: bool):
     """_norm (+ trailing ReLU), routed through the fused single-pass Pallas
-    InstanceNorm when cfg.fused_in and the shape qualifies. C is capped at
-    128: wider layers need lane-axis-blocked BlockSpecs, which the remote
-    Mosaic AOT compile helper rejects (measured rc=1 at C>=256 — docs/
-    PERF.md "conv+IN epilogue"); those layers' IN cost is ~0.5 us/img
-    anyway, so they stay on the XLA norm."""
+    InstanceNorm when cfg.fused_in and the shape qualifies (C == 64 with an
+    even plane, or any multiple of 128 — every torchvision-ResNet IN shape).
+    The round-5 C<=128 cap is gone: the C>=256 rc=1 "rejections" were
+    scoped-vmem stack OOMs from oversized blocks, fixed by the element
+    budget in ops/in_pallas.py::_pick_bn (docs/PERF.md "conv+IN
+    epilogue")."""
     if cfg.fused_in and cfg.norm == "instance":
         c, s = x.shape[-1], x.shape[1] * x.shape[2]
-        if (c == 64 and s % 2 == 0) or c == 128:
+        if (c == 64 and s % 2 == 0) or c % 128 == 0:
             from tpumil.ops.in_pallas import fused_instance_norm
 
             interpret = jax.default_backend() != "tpu"
