@@ -59,14 +59,18 @@ def test_pick_bn_respects_vmem_budget():
     element budget: Mosaic's scoped-vmem stack is 16 MB and the measured
     in-kernel footprint is 23-48 B per block element (two on-chip OOMs at
     the old 2 MB stored-block target — docs/PERF.md "conv+IN epilogue")."""
-    from tpumil.ops.in_pallas import MAX_BLOCK_ELEMS, _pick_bn
+    from tpumil.ops.in_pallas import MAX_BLOCK_ELEMS_BF16, _pick_bn
 
     # the shapes that OOM'd on chip: 14x14x256 (s=196) picked bn=32 and
     # 7x7x512 (s=49) picked bn=64 at the old target
     for s in (196, 49, 784, 1568):
         bn = _pick_bn(128, s, 2)
         assert 128 % bn == 0
-        assert bn == 1 or bn * s * 128 <= MAX_BLOCK_ELEMS
+        assert bn == 1 or bn * s * 128 <= MAX_BLOCK_ELEMS_BF16
+        # f32 inputs double the stored in/out bytes -> half the budget
+        bn32 = _pick_bn(128, s, 4)
+        assert 128 % bn32 == 0
+        assert bn32 == 1 or bn32 * s * 128 <= MAX_BLOCK_ELEMS_BF16 // 2
     # stem-sized planes always fit at least one sample per block (measured
     # to run on chip despite exceeding the nominal budget)
     assert _pick_bn(128, 6272, 4) == 1

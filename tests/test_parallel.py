@@ -385,3 +385,107 @@ def test_data_parallel_bag_trainer_validation(rng):
         DataParallelBagTrainer(cfg)
     with pytest.raises(NotImplementedError, match="dropout"):
         DataParallelBagTrainer(cfg, mesh=make_mesh(8), dropout_patch=0.5)
+
+
+def test_take_devices_raises_when_insufficient():
+    """jax.devices()[:n] silently truncates; take_devices must not — a
+    --inst_shard 16 run on this 8-device host has to fail loudly instead of
+    quietly training 8-way."""
+    from tpumil.parallel.mesh import take_devices
+
+    assert len(take_devices(8)) == 8
+    with pytest.raises(ValueError, match="only 8"):
+        take_devices(16)
+    with pytest.raises(ValueError):
+        make_mesh(16)
+
+
+def _uniform_store(rng, num_bags=10, n_inst=16, feats=16):
+    """Bags of IDENTICAL instance count -> a SINGLE-bucket DeviceBagStore
+    (the case where BagTrainer.train_epochs bulk-draws its RNG)."""
+    from tpumil.data.bags import Bag
+    from tpumil.data.device_store import DeviceBagStore
+
+    bags = [Bag(rng.standard_normal((n_inst, feats)).astype(np.float32),
+                np.asarray([float(i % 2)], np.float32), f"b{i}")
+            for i in range(num_bags)]
+    return DeviceBagStore(bags), bags
+
+
+def test_sequential_epochs_rng_matches_fused_single_bucket(rng):
+    """InstanceShardedBagTrainer.train_epochs must consume the host RNG
+    exactly like BagTrainer.train_epochs for a single-bucket store with
+    E > 1 (the fused path draws [E perms, then ONE integers]); otherwise
+    the visitation orders diverge from epoch 2 and the trajectory parity
+    that justifies omitting inst_shard from the experiment fingerprint is
+    broken."""
+    from tpumil.parallel.bag_shard import InstanceShardedBagTrainer
+    from tpumil.train.trainer import BagTrainer
+
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    store, _ = _uniform_store(rng)
+    lrs = [1e-3, 1e-3, 1e-3]
+
+    base = BagTrainer(cfg)
+    p0, o0 = base.init(jax.random.PRNGKey(0))
+    p_ref, _, l_ref = base.train_epochs(p0, o0, store, lrs,
+                                        np.random.default_rng(7))
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]), ("inst",))
+    sharded = InstanceShardedBagTrainer(cfg, mesh=mesh)
+    p0, o0 = sharded.init(jax.random.PRNGKey(0))
+    p_got, _, l_got = sharded.train_epochs(p0, o0, store, lrs,
+                                           np.random.default_rng(7))
+
+    np.testing.assert_allclose(l_got, l_ref, rtol=1e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_got), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_data_parallel_trainer_chunks_store_buckets(rng):
+    """The DeviceBagStore path hands _train_bucket_any the WHOLE bucket;
+    the dp trainer must still step in minibatches of <= chunk_size bags
+    (10 bags / chunk_size 4 -> 3 steps per epoch), not one step per
+    bucket."""
+    from tpumil.parallel.sharded_train import DataParallelBagTrainer
+
+    cfg = DSMILConfig(feats_size=16, num_classes=1)
+    store, _ = _uniform_store(rng)
+    tr = DataParallelBagTrainer(cfg, mesh=make_mesh(8), chunk_size=4)
+    calls = []
+    inner = tr._dp_step
+
+    def counting(*a, **kw):
+        calls.append(kw.get("real", a[6] if len(a) > 6 else None))
+        return inner(*a, **kw)
+
+    tr._dp_step = counting
+    params, opt = tr.init(jax.random.PRNGKey(0))
+    params, opt, loss = tr.train_epoch(params, opt, store, 1e-3,
+                                       np.random.default_rng(0))
+    assert len(calls) == 3  # ceil(10 / 4)
+    assert np.isfinite(loss)
+
+
+def test_inst_sharded_step_respects_compute_dtype(rng):
+    """cfg.compute_dtype must reach the sharded step: a bf16 config has to
+    produce a (slightly) different loss than the f32 config — before the
+    fix both ran f32 and were bitwise identical."""
+    from tpumil.parallel.bag_shard import InstanceShardedBagTrainer
+
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("inst",))
+    store, _ = _uniform_store(rng)
+
+    def one_epoch(dtype):
+        cfg = DSMILConfig(feats_size=16, num_classes=1, compute_dtype=dtype)
+        tr = InstanceShardedBagTrainer(cfg, mesh=mesh)
+        params, opt = tr.init(jax.random.PRNGKey(0))
+        _, _, loss = tr.train_epoch(params, opt, store, 1e-3,
+                                    np.random.default_rng(0))
+        return float(loss)
+
+    l32 = one_epoch(jnp.float32)
+    lbf = one_epoch(jnp.bfloat16)
+    assert l32 != lbf                      # dtype actually flowed through
+    np.testing.assert_allclose(lbf, l32, rtol=2e-2)  # but it's the same math

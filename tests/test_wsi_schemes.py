@@ -428,3 +428,23 @@ def test_run_5fold_cv_data_parallel(tmp_path, rng):
     with pytest.raises(ValueError, match="mutually exclusive"):
         run_5fold_cv(bags, WSITrainConfig(**kw, data_parallel=8,
                                           inst_shard=8), log=lambda s: None)
+
+
+def test_store_min_bucket_follows_inst_shard(rng):
+    """A store built for an inst_shard run must never create a bucket the
+    inst axis cannot divide: --inst_shard 32 with any <=16-instance bag
+    would otherwise crash mid-run on the default min_bucket=16."""
+    from tpumil.train.schemes import _global_store, _required_min_bucket
+
+    assert _required_min_bucket(WSITrainConfig(feats_size=16,
+                                               num_classes=1)) == 16
+    assert _required_min_bucket(
+        WSITrainConfig(feats_size=16, num_classes=1, inst_shard=32)) == 32
+    # dp mode's constraint is its mesh's inst axis (make_mesh(8) -> inst=2)
+    assert _required_min_bucket(
+        WSITrainConfig(feats_size=16, num_classes=1, data_parallel=8)) == 16
+
+    bags = make_separable_bags(rng, num_bags=6, feats=16, mean_instances=6)
+    store = _global_store(
+        bags, WSITrainConfig(feats_size=16, num_classes=1, inst_shard=32))
+    assert all(s % 32 == 0 for s in store.bucket_sizes)

@@ -76,6 +76,12 @@ def main(argv=None):
                         help="Embedding precision; f32 matches the "
                              "compute_feats default and the reference "
                              "thresholds (docs/PERF.md 'Precision tiers')")
+    parser.add_argument("--space_to_depth",
+                        action=argparse.BooleanOptionalAction, default=False,
+                        help="Space-to-depth embedder stem (the benchmarked "
+                             "fast config; feature parity to the plain stem "
+                             "pinned at 1e-4). Default OFF so the shipped "
+                             "reference thresholds stay exact, like serve.")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -92,7 +98,8 @@ def main(argv=None):
 
     emb_params, emb_cfg, agg_params, model_name = load_milnet(
         args.embedder_weights, args.aggregator_weights, args.num_classes,
-        backbone=args.backbone, precision=args.precision)
+        backbone=args.backbone, precision=args.precision,
+        space_to_depth=args.space_to_depth)
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size, num_workers=args.num_workers,
                          model=model_name)

@@ -139,7 +139,11 @@ def main(argv=None):
         emb_params, emb_cfg, agg_params, model_name = load_milnet(
             emb, agg[0], cfg.train.num_classes, cfg.embedder.norm_layer,
             backbone=cfg.embedder.backbone,
-            precision=cfg.embedder.precision)
+            precision=cfg.embedder.precision,
+            # the SAME stem the feats stage embedded (and the aggregator
+            # trained on) — an s2d/plain mismatch costs up to 1e-4 feature
+            # drift between the stages of one run
+            space_to_depth=cfg.embedder.space_to_depth)
         infer = BagInference(emb_params, emb_cfg, agg_params,
                              batch_size=cfg.inference.batch_size,
                              patch_size=cfg.embedder.patch_size,

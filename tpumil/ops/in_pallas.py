@@ -76,12 +76,14 @@ def _kernel(*refs, bn, s, count, folded, relu):
     out_ref[:] = y.reshape(bn * s, 128).astype(out_ref.dtype)
 
 
-MAX_BLOCK_ELEMS = 200_000  # see _pick_bn
+MAX_BLOCK_ELEMS_BF16 = 200_000  # see _pick_bn; calibrated at itemsize 2
 
 
 def _pick_bn(n: int, s: int, itemsize: int) -> int:
-    """Largest divisor of n keeping the [bn, s, 128] block under
-    MAX_BLOCK_ELEMS elements.
+    """Largest divisor of n keeping the [bn, s, 128] block under the
+    element budget (MAX_BLOCK_ELEMS_BF16 at itemsize 2, scaled down for
+    wider input dtypes — the double-buffered in/out blocks grow with
+    itemsize while the f32 temporaries do not).
 
     The binding constraint is the Mosaic scoped-vmem STACK (16 MB), not the
     stored block bytes: the kernel holds double-buffered in/out blocks plus
@@ -89,11 +91,12 @@ def _pick_bn(n: int, s: int, itemsize: int) -> int:
     23-48 B per block element for bf16 inputs depending on shape (a
     2 MB-stored-block target OOM'd at [32*196,128] with 18.36 MB requested;
     [64*49,128] requested 19.24 MB — docs/PERF.md "conv+IN epilogue").
-    200k elements bounds the worst observed rate at ~9.6 MB. The bn=1
+    200k bf16 elements bounds the worst observed rate at ~9.6 MB. The bn=1
     floor can exceed the budget for stem-sized planes ([6272,128] = 803k
     elements); that configuration is measured to fit on chip (Mosaic's
     footprint per element shrinks for single-sample blocks)."""
-    cap = max(1, MAX_BLOCK_ELEMS // max(1, s * 128))
+    budget = (2 * MAX_BLOCK_ELEMS_BF16) // max(2, itemsize)
+    cap = max(1, budget // max(1, s * 128))
     bn = 1
     for d in range(1, n + 1):
         if n % d == 0 and d <= cap:

@@ -280,8 +280,11 @@ class InstanceShardedBagTrainer(_BagTrainer):
         # buckets must divide across the axis (power-of-two family covers
         # any power-of-two axis <= min_bucket automatically)
         self.min_bucket = max(self.min_bucket, n)
+        # cfg.compute_dtype must flow through or a bf16 config would
+        # silently train f32 here while BagTrainer trains bf16
         self._inst_step, _ = make_instance_sharded_train_step(
-            self.mesh, optimizer=self.optimizer, axis=self.inst_axis)
+            self.mesh, optimizer=self.optimizer, axis=self.inst_axis,
+            compute_dtype=self.cfg.compute_dtype)
 
     def _train_bucket_any(self, params, opt_state, feats, mask, labels, perm,
                           lr, keys, real, nmax, resident_bytes=None):

@@ -24,6 +24,19 @@ DATA_AXIS = "data"
 INST_AXIS = "inst"
 
 
+def take_devices(n: int):
+    """The first ``n`` devices, failing LOUDLY when fewer exist — a silent
+    ``jax.devices()[:n]`` would run the job on fewer chips than the user
+    asked for (e.g. --inst_shard 8 on a 4-chip host quietly becoming a
+    4-way run)."""
+    devices = jax.devices()
+    if len(devices) < n:
+        raise ValueError(
+            f"requested {n} devices but only {len(devices)} are available "
+            f"({[str(d) for d in devices]})")
+    return devices[:n]
+
+
 def make_mesh(n_devices: Optional[int] = None,
               inst_parallel: Optional[int] = None) -> Mesh:
     """Build a (data, inst) mesh over the first ``n_devices`` devices.
@@ -32,9 +45,7 @@ def make_mesh(n_devices: Optional[int] = None,
     of the devices form the data axis. Default: inst=2 when the device count
     is even and >1, else 1.
     """
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
+    devices = jax.devices() if n_devices is None else take_devices(n_devices)
     n = len(devices)
     if inst_parallel is None:
         inst_parallel = 2 if n % 2 == 0 and n > 1 else 1

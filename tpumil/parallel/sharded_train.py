@@ -107,9 +107,10 @@ from tpumil.train.trainer import BagTrainer as _BagTrainer
 
 @_dataclasses.dataclass
 class DataParallelBagTrainer(_BagTrainer):
-    """BagTrainer drop-in that trains each bucket chunk as ONE minibatch
-    Adam step sharded over a (data, inst) mesh — bags over the data axis,
-    instances over the inst axis, gradients summed by XLA collectives.
+    """BagTrainer drop-in that trains chunks of up to ``chunk_size`` bags
+    as ONE minibatch Adam step each, sharded over a (data, inst) mesh —
+    bags over the data axis, instances over the inst axis, gradients
+    summed by XLA collectives.
 
     DOCUMENTED DEVIATION from the reference's optimization: the reference
     (and the default BagTrainer / InstanceShardedBagTrainer) takes one Adam
@@ -151,35 +152,46 @@ class DataParallelBagTrainer(_BagTrainer):
 
     def _train_bucket_any(self, params, opt_state, feats, mask, labels, perm,
                           lr, keys, real, nmax, resident_bytes=None):
-        """One minibatch step over the whole bucket chunk. ``perm``/``keys``
-        are consumed by the caller to keep the host RNG stream identical to
-        the other trainers; the step itself is order-invariant (one mean).
-        Returns the SUM of per-real-bag losses (mean * n_real) to keep the
-        callers' per-bag averaging contract."""
+        """Minibatch steps of up to ``chunk_size`` real bags each, in
+        ``perm`` order. ``keys`` are consumed by the caller to keep the
+        host RNG stream identical to the other trainers; within one chunk
+        the step is order-invariant (one mean). Returns the SUM of
+        per-real-bag losses (each chunk's mean * its bag count) to keep the
+        callers' per-bag averaging contract.
+
+        Chunking matters: the DeviceBagStore path hands this method the
+        WHOLE bucket, and a single step averaging hundreds of bags would be
+        ~1 optimizer step per epoch — far from the documented "up to
+        chunk_size bags per step" minibatch mode (and from the list path,
+        which bucketed_chunks already caps at chunk_size)."""
+        perm_np = _np.asarray(perm)
         real_np = _np.asarray(real)
-        b = int(real_np.shape[0])
-        pad = (-b) % self._dp
-        if pad:  # bag axis must divide the data axis; add gated dummies
-            feats = jnp.concatenate(
-                [jnp.asarray(feats),
-                 jnp.zeros((pad,) + tuple(feats.shape[1:]), feats.dtype)])
-            mask = jnp.concatenate(
-                [jnp.asarray(mask), jnp.zeros((pad,) + tuple(mask.shape[1:]),
-                                              bool)])
-            labels = jnp.concatenate(
-                [jnp.asarray(labels),
-                 jnp.zeros((pad,) + tuple(labels.shape[1:]), labels.dtype)])
-            real_np = _np.concatenate([real_np, _np.zeros((pad,), bool)])
-        feats, mask, labels = device_put_batch(mesh=self.mesh, feats=feats,
-                                               mask=mask, labels=labels)
-        real_d = jax.device_put(
-            jnp.asarray(real_np),
-            NamedSharding(self.mesh, P("data")))
-        params, opt_state, loss = self._dp_step(
-            params, opt_state, feats, mask, labels, lr, real=real_d,
-            pos_weight=self._pw())
-        n_real = int(real_np.sum())
-        return params, opt_state, loss * n_real
+        # real flags are positional (step k trains bag perm[k]); keep only
+        # real steps — count-padding dummies contribute nothing here
+        idx_real = perm_np[real_np]
+        feats = jnp.asarray(feats)
+        mask = jnp.asarray(mask)
+        labels = jnp.asarray(labels)
+        lr = jnp.asarray(lr, jnp.float32)
+        pw = self._pw()
+        real_sh = NamedSharding(self.mesh, P("data"))
+        total = jnp.zeros((), jnp.float32)
+        for start in range(0, len(idx_real), self.chunk_size):
+            idx = idx_real[start:start + self.chunk_size]
+            nb = len(idx)
+            pad = (-nb) % self._dp  # bag axis must divide the data axis
+            gather = jnp.asarray(
+                _np.concatenate([idx, _np.repeat(idx[:1], pad)])
+                if pad else idx)
+            f, m, l = device_put_batch(
+                mesh=self.mesh, feats=feats[gather], mask=mask[gather],
+                labels=labels[gather])
+            r = jax.device_put(jnp.asarray(_np.arange(nb + pad) < nb),
+                               real_sh)
+            params, opt_state, loss = self._dp_step(
+                params, opt_state, f, m, l, lr, real=r, pos_weight=pw)
+            total = total + loss * nb
+        return params, opt_state, total
 
     def train_epochs(self, params, opt_state, store, lrs,
                      rng: "_np.random.Generator"):

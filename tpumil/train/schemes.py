@@ -92,10 +92,11 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
         from jax.sharding import Mesh
 
         from tpumil.parallel.bag_shard import InstanceShardedBagTrainer
+        from tpumil.parallel.mesh import take_devices
 
         trainer = InstanceShardedBagTrainer(
             model_cfg, optimizer=optimizer, model=model or cfg.model,
-            mesh=Mesh(np.asarray(jax.devices()[:cfg.inst_shard]), ("inst",)))
+            mesh=Mesh(np.asarray(take_devices(cfg.inst_shard)), ("inst",)))
     else:
         trainer = BagTrainer(
             model_cfg,
@@ -220,8 +221,9 @@ def _make_trainer(cfg: WSITrainConfig) -> BagTrainer:
         from jax.sharding import Mesh
 
         from tpumil.parallel.bag_shard import InstanceShardedBagTrainer
+        from tpumil.parallel.mesh import take_devices
 
-        mesh = Mesh(np.asarray(jax.devices()[:cfg.inst_shard]), ("inst",))
+        mesh = Mesh(np.asarray(take_devices(cfg.inst_shard)), ("inst",))
         return InstanceShardedBagTrainer(
             model_cfg, optimizer=optimizer, dropout_patch=cfg.dropout_patch,
             model=cfg.model, mesh=mesh)
@@ -301,9 +303,11 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
 
     if cfg.use_device_store:
         if not isinstance(train_bags, DeviceBagStore):
-            train_bags = DeviceBagStore(train_bags)
+            train_bags = DeviceBagStore(
+                train_bags, min_bucket=_required_min_bucket(cfg))
         if not isinstance(test_bags, DeviceBagStore):
-            test_bags = DeviceBagStore(test_bags)
+            test_bags = DeviceBagStore(
+                test_bags, min_bucket=_required_min_bucket(cfg))
     params, opt_state = trainer.init(init_key)
     lr_of = cosine_annealing_lr(cfg.lr, cfg.num_epochs, cfg.eta_min)
     # Seed with valid defaults so a fold that never clears score 0 (possible
@@ -398,6 +402,22 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
     return best
 
 
+def _required_min_bucket(cfg) -> int:
+    """Smallest bucket the store may create for this config: the sharded
+    trainers raise their min_bucket so every power-of-two bucket divides
+    across the inst axis — a store built with the default would hand them
+    an indivisible bucket and crash mid-run (e.g. --inst_shard 32 with any
+    <=16-instance bag)."""
+    n = 16  # DeviceBagStore default
+    if getattr(cfg, "inst_shard", 0):
+        n = max(n, int(cfg.inst_shard))
+    if getattr(cfg, "data_parallel", 0):
+        from tpumil.parallel.mesh import make_mesh
+
+        n = max(n, int(make_mesh(cfg.data_parallel).shape["inst"]))
+    return n
+
+
 def _global_store(bags, cfg):
     """One HBM-resident store for the whole dataset; folds become
     device-side gathers (DeviceBagStore.subset)."""
@@ -405,7 +425,7 @@ def _global_store(bags, cfg):
         return None
     from tpumil.data.device_store import DeviceBagStore
 
-    return DeviceBagStore(bags)
+    return DeviceBagStore(bags, min_bucket=_required_min_bucket(cfg))
 
 
 def _fold_views(store, bags, tr_idx, te_idx):

@@ -136,10 +136,38 @@ def xla_eval_workingset_bytes(total_instances: int,
 
 
 def sequential_epochs(trainer, params, opt_state, store, lrs, rng):
-    """len(lrs) epochs as plain sequential train_epoch calls — the
-    train_epochs implementation for the sharded trainers (per-bag or
-    per-chunk dispatches; nothing to fuse). Returns
-    (params, opt_state, mean_loss_per_epoch [E])."""
+    """len(lrs) epochs for the sharded trainers (per-bag or per-chunk
+    dispatches; nothing to fuse). Returns
+    (params, opt_state, mean_loss_per_epoch [E]).
+
+    Consumes the host RNG EXACTLY like BagTrainer.train_epochs: for a
+    single-bucket store that path bulk-draws [E permutations, then ONE
+    integers draw for all epochs' keys], whereas naive per-epoch
+    train_epoch calls interleave [perm, integers] and diverge from epoch 2
+    — which would break the trajectory compatibility that lets a run
+    resume on a different inst_shard count (the WSITrainConfig fingerprint
+    deliberately omits inst_shard)."""
+    from tpumil.data.device_store import DeviceBagStore
+
+    e = len(lrs)
+    if isinstance(store, DeviceBagStore) and len(store.bucket_sizes) == 1:
+        nmax = store.bucket_sizes[0]
+        feats, mask, labels = store.buckets[nmax]
+        b = feats.shape[0]
+        pr = [trainer._bucket_perm(store, nmax, rng) for _ in range(e)]
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(rng.integers(1 << 62))), e * b
+        ).reshape(e, b, 2)
+        losses = []
+        for i, lr in enumerate(lrs):
+            perm, real = pr[i]
+            params, opt_state, loss = trainer._train_bucket_any(
+                params, opt_state, feats, mask, labels, jnp.asarray(perm),
+                jnp.asarray(lr, jnp.float32), keys[i], jnp.asarray(real),
+                nmax, resident_bytes=store.nbytes())
+            losses.append(float(loss))
+        return params, opt_state, (np.asarray(losses, np.float64)
+                                   / max(store.num_bags, 1))
     losses = []
     for lr in lrs:
         params, opt_state, loss = trainer.train_epoch(
