@@ -121,6 +121,39 @@ def test_end_to_end_heatmaps(tmp_path, rng):
     np.testing.assert_allclose(results[0].attention.sum(axis=0), [1.0], atol=1e-4)
 
 
+def test_mesh_sharded_bag_inference(tmp_path, rng):
+    """BagInference(mesh=...) shards patch batches over every mesh axis
+    (the attention_map --data_parallel path): bag scores / attention /
+    instance logits must match the unsharded run to float tolerance
+    (sharded XLA reductions partition differently), and a batch_size not
+    divisible by the device count raises the helper's ValueError."""
+    from tpumil.parallel.mesh import make_mesh
+
+    root = _make_patch_bags(tmp_path, rng, n_bags=1)
+    bag_dir = sorted(glob.glob(os.path.join(root, "*")))[0]
+    emb_cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)
+    emb_params = embedder.init_params(jax.random.PRNGKey(0), emb_cfg)
+    agg_params = dsmil.init_params(jax.random.PRNGKey(1),
+                                   DSMILConfig(feats_size=512, num_classes=1))
+
+    plain = BagInference(emb_params, emb_cfg, agg_params, batch_size=8,
+                         patch_size=32, num_workers=2)
+    scores, attn, logits, pos = plain.run_bag(bag_dir)
+
+    mesh = make_mesh(8)  # default (data=4, inst=2): both axes must shard
+    sharded = BagInference(emb_params, emb_cfg, agg_params, batch_size=8,
+                           patch_size=32, num_workers=2, mesh=mesh)
+    s_scores, s_attn, s_logits, s_pos = sharded.run_bag(bag_dir)
+    np.testing.assert_array_equal(s_pos, pos)
+    np.testing.assert_allclose(s_scores, scores, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s_logits, logits, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(s_attn, attn, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="divide"):
+        BagInference(emb_params, emb_cfg, agg_params, batch_size=12,
+                     patch_size=32, mesh=mesh)
+
+
 def test_benign_map_is_black(tmp_path, rng):
     root = _make_patch_bags(tmp_path, rng, n_bags=1)
     emb_cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)

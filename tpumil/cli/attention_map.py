@@ -82,6 +82,13 @@ def main(argv=None):
                              "fast config; feature parity to the plain stem "
                              "pinned at 1e-4). Default OFF so the shipped "
                              "reference thresholds stay exact, like serve.")
+    parser.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                        help="Shard each patch batch over the first N "
+                             "devices (embedder params replicated) — one "
+                             "process drives N chips; batch_size must "
+                             "divide by N. Same scale-out as compute_feats "
+                             "--data_parallel; the per-bag aggregator stays "
+                             "single-device.")
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -100,9 +107,15 @@ def main(argv=None):
         args.embedder_weights, args.aggregator_weights, args.num_classes,
         backbone=args.backbone, precision=args.precision,
         space_to_depth=args.space_to_depth)
+    mesh = None
+    if args.data_parallel:
+        from tpumil.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.data_parallel, inst_parallel=1)
+        print(f"data-parallel embedding over {args.data_parallel} devices")
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size, num_workers=args.num_workers,
-                         model=model_name)
+                         model=model_name, mesh=mesh)
     bags_list = sorted(glob.glob(os.path.join(args.bag_path, "*")))
     if args.export_scores:
         os.makedirs(args.score_path, exist_ok=True)

@@ -44,12 +44,20 @@ class BagResult:
 
 
 class BagInference:
-    """Embedder + aggregator over raw patch folders."""
+    """Embedder + aggregator over raw patch folders.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — patch batches shard over
+    EVERY mesh axis (embedder params replicated), the same scale-out as
+    ``FeatureExtractor(mesh=...)``; heatmap generation is embedder-bound,
+    so this lets one process drive a whole pod slice. ``batch_size`` must
+    divide by the mesh's device count (the loader always yields full,
+    zero-padded batches). The per-bag aggregator stays single-device — it
+    is one tiny [N, K] forward per bag."""
 
     def __init__(self, emb_params: Dict, emb_cfg: EmbedderConfig,
                  agg_params: Dict, batch_size: int = 64,
                  patch_size: Optional[int] = 224, num_workers: int = 8,
-                 model: str = "dsmil"):
+                 model: str = "dsmil", mesh=None):
         from tpumil.models.registry import get_model
 
         mil = get_model(model)
@@ -61,7 +69,14 @@ class BagInference:
         self.num_workers = num_workers
         self.model = model
         # embedder.forward normalizes uint8 batches on device itself
-        self._embed = jax.jit(lambda p, x: embedder.forward(p, x, emb_cfg))
+        if mesh is not None:
+            from tpumil.parallel.mesh import make_batch_sharded_jit
+
+            self._embed, put_params, _ = make_batch_sharded_jit(
+                mesh, batch_size, lambda p, x: embedder.forward(p, x, emb_cfg))
+            self.emb_params = put_params(emb_params)
+        else:
+            self._embed = jax.jit(lambda p, x: embedder.forward(p, x, emb_cfg))
         self._aggregate = jax.jit(
             lambda p, feats, c, mask: mil.forward(p, feats, mask, ins_logits=c))
 
