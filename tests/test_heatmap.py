@@ -154,6 +154,39 @@ def test_mesh_sharded_bag_inference(tmp_path, rng):
                      patch_size=32, mesh=mesh)
 
 
+def test_testing_cli_data_parallel_parity(tmp_path, rng):
+    """`testing_tcga --data_parallel 8` (the mesh BagInference path) writes
+    the same verdict map as the single-device run — PNGs byte-close (the
+    render quantizes to ubyte, so sharded-reduction float noise vanishes)."""
+    from PIL import Image
+
+    from tpumil.cli import testing_tcga
+    from tpumil.io import torch_ckpt
+
+    root = _make_patch_bags(tmp_path, rng, n_bags=1)
+    emb_cfg = EmbedderConfig(num_classes=2, compute_dtype=jnp.float32)
+    emb_params = embedder.init_params(jax.random.PRNGKey(0), emb_cfg)
+    emb_path = str(tmp_path / "embedder.pth")
+    torch_ckpt.save_state_dict(
+        embedder.export_embedder_state_dict(emb_params, emb_cfg), emb_path)
+    agg_params = dsmil.init_params(jax.random.PRNGKey(1),
+                                   DSMILConfig(feats_size=512, num_classes=2))
+    agg_path = str(tmp_path / "aggregator.pth")
+    torch_ckpt.save_mil_pth(jax.tree.map(np.asarray, agg_params), agg_path)
+
+    base = ["--bag_path", root, "--embedder_weights", emb_path,
+            "--aggregator_weights", agg_path, "--batch_size", "8",
+            "--thres_luad", "0.0", "--thres_lusc", "1.1",  # force LUAD
+            "--device", "cpu"]
+    assert testing_tcga.main(
+        base + ["--output", str(tmp_path / "plain")]) == 0
+    assert testing_tcga.main(
+        base + ["--output", str(tmp_path / "dp"), "--data_parallel", "8"]) == 0
+    a = np.asarray(Image.open(tmp_path / "plain" / "slide0.png"), np.int32)
+    b = np.asarray(Image.open(tmp_path / "dp" / "slide0.png"), np.int32)
+    assert a.shape == b.shape and np.abs(a - b).max() <= 2
+
+
 def test_benign_map_is_black(tmp_path, rng):
     root = _make_patch_bags(tmp_path, rng, n_bags=1)
     emb_cfg = EmbedderConfig(num_classes=1, compute_dtype=jnp.float32)

@@ -50,6 +50,24 @@ def load_milnet(embedder_weights: str, aggregator_weights: str,
     return emb_params, emb_cfg, agg_params, model_name
 
 
+def data_parallel_mesh(n: int):
+    """``--data_parallel N`` handling shared by the heatmap/testing CLIs:
+    returns a 1-wide-inst mesh over the first N devices (or None for 0)."""
+    if not n:
+        return None
+    from tpumil.parallel.mesh import make_mesh
+
+    print(f"data-parallel embedding over {n} devices")
+    return make_mesh(n, inst_parallel=1)
+
+
+DATA_PARALLEL_HELP = (
+    "Shard each patch batch over the first N devices (embedder params "
+    "replicated) — one process drives N chips; batch_size must divide by N. "
+    "Same scale-out as compute_feats --data_parallel; the per-bag "
+    "aggregator stays single-device.")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Attention computing and color map production (TPU-native)")
@@ -83,12 +101,7 @@ def main(argv=None):
                              "pinned at 1e-4). Default OFF so the shipped "
                              "reference thresholds stay exact, like serve.")
     parser.add_argument("--data_parallel", default=0, type=int, metavar="N",
-                        help="Shard each patch batch over the first N "
-                             "devices (embedder params replicated) — one "
-                             "process drives N chips; batch_size must "
-                             "divide by N. Same scale-out as compute_feats "
-                             "--data_parallel; the per-bag aggregator stays "
-                             "single-device.")
+                        help=DATA_PARALLEL_HELP)
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
     args = parser.parse_args(argv)
 
@@ -107,12 +120,7 @@ def main(argv=None):
         args.embedder_weights, args.aggregator_weights, args.num_classes,
         backbone=args.backbone, precision=args.precision,
         space_to_depth=args.space_to_depth)
-    mesh = None
-    if args.data_parallel:
-        from tpumil.parallel.mesh import make_mesh
-
-        mesh = make_mesh(args.data_parallel, inst_parallel=1)
-        print(f"data-parallel embedding over {args.data_parallel} devices")
+    mesh = data_parallel_mesh(args.data_parallel)
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size, num_workers=args.num_workers,
                          model=model_name, mesh=mesh)

@@ -27,13 +27,17 @@ def main(argv=None):
     parser.add_argument("--bag_path", type=str, default=os.path.join("test-c16", "patches"))
     parser.add_argument("--output", type=str, default=os.path.join("test-c16", "output"))
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
+    from tpumil.cli.attention_map import DATA_PARALLEL_HELP
+
+    parser.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                        help=DATA_PARALLEL_HELP)
     args = parser.parse_args(argv)
 
     from tpumil.utils.platform import select_platform
 
     select_platform(args.device)
 
-    from tpumil.cli.attention_map import load_milnet
+    from tpumil.cli.attention_map import data_parallel_mesh, load_milnet
     from tpumil.infer.heatmap import (BagInference, render_single_class_map,
                                       save_png)
 
@@ -41,7 +45,8 @@ def main(argv=None):
         args.embedder_weights, args.aggregator_weights, args.num_classes)
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size,
-                         num_workers=args.num_workers, model=model_name)
+                         num_workers=args.num_workers, model=model_name,
+                         mesh=data_parallel_mesh(args.data_parallel))
 
     red = np.asarray([1.0, 0.0, 0.0])  # unit RGB (testing_c16 semantics:
     # raw attention rescaled first, then scaled by the color)

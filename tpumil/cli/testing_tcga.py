@@ -29,13 +29,17 @@ def main(argv=None):
     parser.add_argument("--bag_path", type=str, default=os.path.join("test", "patches"))
     parser.add_argument("--output", type=str, default=os.path.join("test", "output"))
     parser.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"])
+    from tpumil.cli.attention_map import DATA_PARALLEL_HELP
+
+    parser.add_argument("--data_parallel", default=0, type=int, metavar="N",
+                        help=DATA_PARALLEL_HELP)
     args = parser.parse_args(argv)
 
     from tpumil.utils.platform import select_platform
 
     select_platform(args.device)
 
-    from tpumil.cli.attention_map import load_milnet
+    from tpumil.cli.attention_map import data_parallel_mesh, load_milnet
     from tpumil.infer.heatmap import (BagInference, render_single_class_map,
                                       save_png)
 
@@ -43,7 +47,8 @@ def main(argv=None):
         args.embedder_weights, args.aggregator_weights, args.num_classes)
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size,
-                         num_workers=args.num_workers, model=model_name)
+                         num_workers=args.num_workers, model=model_name,
+                         mesh=data_parallel_mesh(args.data_parallel))
 
     # LUAD green, LUSC blue, unit RGB like the reference (testing_tcga.py:
     # 91-95: raw attention rescaled FIRST, then scaled by the unit color)
