@@ -37,8 +37,11 @@ def pipeline_workdir(tmp_path, rng, monkeypatch):
         "tiler:\n  tile_size: 64\n"
         "simclr:\n  batch_size: 8\n  epochs: 1\n  input_size: 64\n"
         "  num_workers: 2\n"
+        # data_parallel: the feats stage shards patch batches over the
+        # virtual 8-device mesh AND the maps stage embeds through the
+        # mesh-sharded BagInference — the whole pipeline multi-chip
         "embedder:\n  num_classes: 1\n  batch_size: 8\n  patch_size: 64\n"
-        "  precision: f32\n"
+        "  precision: f32\n  data_parallel: 8\n"
         "train:\n  num_classes: 1\n  feats_size: 512\n  num_epochs: 3\n"
         "  stop_epochs: 2\n  lr: 0.002\n  verbose: false\n"
         "inference:\n  thresholds: [0.0]\n")

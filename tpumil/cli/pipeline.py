@@ -122,7 +122,7 @@ def main(argv=None):
 
     if "maps" in stages:
         print("== stage: maps")
-        from tpumil.cli.attention_map import load_milnet
+        from tpumil.cli.attention_map import data_parallel_mesh, load_milnet
         from tpumil.infer.heatmap import BagInference, run_attention_maps
 
         agg = sorted(glob.glob(os.path.join(run_dir, "weights", "fold_*.pth")))
@@ -148,7 +148,9 @@ def main(argv=None):
                              batch_size=cfg.inference.batch_size,
                              patch_size=cfg.embedder.patch_size,
                              num_workers=cfg.inference.num_workers,
-                             model=model_name)
+                             model=model_name,
+                             # same scale-out as the feats stage above
+                             mesh=data_parallel_mesh(cfg.embedder.data_parallel))
         layout = "pyramid" if len(cfg.magnifications) > 1 else "single"
         bags_list = sorted(glob.glob(os.path.join(cfg.wsi_root, cfg.dataset,
                                                   layout, "*", "*")))
