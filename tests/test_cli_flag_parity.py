@@ -21,7 +21,7 @@ import re
 
 import pytest
 
-from tests.conftest import REFERENCE_DIR, reference_available
+from conftest import REFERENCE_DIR, reference_available
 
 pytestmark = pytest.mark.skipif(not reference_available(),
                                 reason="reference mount not available")
