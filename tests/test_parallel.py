@@ -398,6 +398,24 @@ def test_take_devices_raises_when_insufficient():
         take_devices(16)
     with pytest.raises(ValueError):
         make_mesh(16)
+    with pytest.raises(ValueError, match="non-negative"):
+        # devices[:-1] would silently build a 7-device mesh
+        take_devices(-1)
+
+
+def test_data_parallel_mesh_helper():
+    """The one --data_parallel handler shared by all five feats/inference
+    CLIs: 0/None -> single-device (no mesh), N -> N-device 1-wide-inst mesh,
+    negative -> loud error (NOT a devices[:-1] slice)."""
+    from tpumil.parallel.mesh import data_parallel_mesh
+
+    assert data_parallel_mesh(0) is None
+    assert data_parallel_mesh(None) is None
+    mesh = data_parallel_mesh(4)
+    assert mesh.devices.shape == (4, 1)
+    assert mesh.axis_names == ("data", "inst")
+    with pytest.raises(ValueError, match=">= 0"):
+        data_parallel_mesh(-1)
 
 
 def _uniform_store(rng, num_bags=10, n_inst=16, feats=16):

@@ -63,3 +63,36 @@ def test_pipeline_all_stages(pipeline_workdir):
     maps = glob.glob("runs/demo/maps/*.png")
     assert len(maps) == 6
     assert os.path.exists("runs/demo/resolved_config.yaml")
+
+
+def test_pipeline_validates_sharding_up_front(tmp_path, monkeypatch, capsys):
+    """A data_parallel that doesn't divide a LATER stage's batch size must
+    fail at parse time, not after hours of tiling/SimCLR/training (the maps
+    stage runs last; its BagInference constructor is the late crash site)."""
+    import pytest
+
+    from tpumil.cli.pipeline import main
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "exp.yaml").write_text(
+        "dataset: demo\n"
+        "magnifications: [0]\n"
+        "embedder:\n  num_classes: 1\n  batch_size: 8\n  data_parallel: 8\n"
+        "train:\n  num_classes: 1\n"
+        "inference:\n  batch_size: 12\n")  # 12 % 8 != 0
+    with pytest.raises(SystemExit) as exc:
+        main(["--config", "exp.yaml",
+              "--stages", "tile,simclr,feats,train,maps", "--device", "cpu"])
+    assert exc.value.code == 2
+    assert "inference.batch_size 12" in capsys.readouterr().err
+    # nothing ran: no run dir, no resolved config
+    assert not os.path.exists("runs")
+
+    (tmp_path / "neg.yaml").write_text(
+        "dataset: demo\n"
+        "magnifications: [0]\n"
+        "embedder:\n  num_classes: 1\n  data_parallel: -2\n"
+        "train:\n  num_classes: 1\n")
+    with pytest.raises(SystemExit):
+        main(["--config", "neg.yaml", "--stages", "feats", "--device", "cpu"])
+    assert ">= 0" in capsys.readouterr().err

@@ -50,17 +50,6 @@ def load_milnet(embedder_weights: str, aggregator_weights: str,
     return emb_params, emb_cfg, agg_params, model_name
 
 
-def data_parallel_mesh(n: int):
-    """``--data_parallel N`` handling shared by the heatmap/testing CLIs:
-    returns a 1-wide-inst mesh over the first N devices (or None for 0)."""
-    if not n:
-        return None
-    from tpumil.parallel.mesh import make_mesh
-
-    print(f"data-parallel embedding over {n} devices")
-    return make_mesh(n, inst_parallel=1)
-
-
 DATA_PARALLEL_HELP = (
     "Shard each patch batch over the first N devices (embedder params "
     "replicated) — one process drives N chips; batch_size must divide by N. "
@@ -110,6 +99,7 @@ def main(argv=None):
     select_platform(args.device)
 
     from tpumil.infer.heatmap import BagInference, run_attention_maps
+    from tpumil.parallel.mesh import data_parallel_mesh
 
     if args.class_name is None:
         args.class_name = [f"class {c}" for c in range(args.num_classes)]
@@ -120,7 +110,7 @@ def main(argv=None):
         args.embedder_weights, args.aggregator_weights, args.num_classes,
         backbone=args.backbone, precision=args.precision,
         space_to_depth=args.space_to_depth)
-    mesh = data_parallel_mesh(args.data_parallel)
+    mesh = data_parallel_mesh(args.data_parallel, what="embedding")
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size, num_workers=args.num_workers,
                          model=model_name, mesh=mesh)

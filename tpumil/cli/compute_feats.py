@@ -97,12 +97,9 @@ def main(argv=None):
     from tpumil.infer.features import FeatureExtractor, compute_feats, compute_tree_feats
 
     cfg = config_from_args(args)
-    mesh = None
-    if args.data_parallel:
-        from tpumil.parallel.mesh import make_mesh
+    from tpumil.parallel.mesh import data_parallel_mesh
 
-        mesh = make_mesh(args.data_parallel, inst_parallel=1)
-        print(f"data-parallel extraction over {args.data_parallel} devices")
+    mesh = data_parallel_mesh(args.data_parallel)
 
     def resolve_weights(spec):
         if spec is None:

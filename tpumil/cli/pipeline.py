@@ -36,6 +36,23 @@ def main(argv=None):
     for s in stages:
         if s not in STAGES:
             parser.error(f"unknown stage {s!r}; valid: {STAGES}")
+    # Validate every cross-stage sharding constraint UP FRONT: the maps stage
+    # runs last, after potentially hours of training — a divisibility error
+    # there would discard the whole run.
+    dp = cfg.embedder.data_parallel
+    if dp:
+        if dp < 0:
+            parser.error(f"embedder.data_parallel must be >= 0, got {dp}")
+        if "feats" in stages and cfg.embedder.batch_size % dp:
+            parser.error(
+                f"embedder.batch_size {cfg.embedder.batch_size} must divide "
+                f"by embedder.data_parallel {dp} (feats stage)")
+        if "maps" in stages and cfg.inference.batch_size % dp:
+            parser.error(
+                f"inference.batch_size {cfg.inference.batch_size} must divide "
+                f"by embedder.data_parallel {dp} (maps stage shards patch "
+                f"batches over the same mesh as feats)")
+
     run_dir = os.path.join(args.run_root, cfg.dataset)
     os.makedirs(run_dir, exist_ok=True)
     cfg.to_yaml(os.path.join(run_dir, "resolved_config.yaml"))
@@ -122,8 +139,9 @@ def main(argv=None):
 
     if "maps" in stages:
         print("== stage: maps")
-        from tpumil.cli.attention_map import data_parallel_mesh, load_milnet
+        from tpumil.cli.attention_map import load_milnet
         from tpumil.infer.heatmap import BagInference, run_attention_maps
+        from tpumil.parallel.mesh import data_parallel_mesh
 
         agg = sorted(glob.glob(os.path.join(run_dir, "weights", "fold_*.pth")))
         if not agg:

@@ -108,10 +108,13 @@ def main(argv=None):
     mesh = None
     if args.data_parallel:
         from jax.sharding import Mesh
-        import jax
         import numpy as np
 
-        devs = np.asarray(jax.devices()[:args.data_parallel]).reshape(-1)
+        from tpumil.parallel.mesh import take_devices
+
+        # fail LOUDLY on too-few devices / negative N — a silent
+        # jax.devices()[:n] would quietly train on fewer chips than asked
+        devs = np.asarray(take_devices(args.data_parallel))
         mesh = Mesh(devs, ("data",))
 
     run_dir = args.run_dir or os.path.join("runs", f"{args.dataset}-{args.level}")

@@ -81,12 +81,9 @@ def main(argv=None):
             print("no SimCLR weights found; using random init")
             params = embedder.init_params(jax.random.PRNGKey(0), cfg)
 
-    mesh = None
-    if args.data_parallel:
-        from tpumil.parallel.mesh import make_mesh
+    from tpumil.parallel.mesh import data_parallel_mesh
 
-        mesh = make_mesh(args.data_parallel, inst_parallel=1)
-        print(f"data-parallel extraction over {args.data_parallel} devices")
+    mesh = data_parallel_mesh(args.data_parallel)
     extractor = FeatureExtractor(params, cfg, args.batch_size, args.tile_size,
                                  mesh=mesh)
     tiler_cfg = TilerConfig(tile_size=args.tile_size, base_mag=args.base_mag,

@@ -37,16 +37,18 @@ def main(argv=None):
 
     select_platform(args.device)
 
-    from tpumil.cli.attention_map import data_parallel_mesh, load_milnet
+    from tpumil.cli.attention_map import load_milnet
     from tpumil.infer.heatmap import (BagInference, render_single_class_map,
                                       save_png)
+    from tpumil.parallel.mesh import data_parallel_mesh
 
     emb_params, emb_cfg, agg_params, model_name = load_milnet(
         args.embedder_weights, args.aggregator_weights, args.num_classes)
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size,
                          num_workers=args.num_workers, model=model_name,
-                         mesh=data_parallel_mesh(args.data_parallel))
+                         mesh=data_parallel_mesh(args.data_parallel,
+                                                 what="embedding"))
 
     red = np.asarray([1.0, 0.0, 0.0])  # unit RGB (testing_c16 semantics:
     # raw attention rescaled first, then scaled by the color)

@@ -39,16 +39,18 @@ def main(argv=None):
 
     select_platform(args.device)
 
-    from tpumil.cli.attention_map import data_parallel_mesh, load_milnet
+    from tpumil.cli.attention_map import load_milnet
     from tpumil.infer.heatmap import (BagInference, render_single_class_map,
                                       save_png)
+    from tpumil.parallel.mesh import data_parallel_mesh
 
     emb_params, emb_cfg, agg_params, model_name = load_milnet(
         args.embedder_weights, args.aggregator_weights, args.num_classes)
     infer = BagInference(emb_params, emb_cfg, agg_params,
                          batch_size=args.batch_size,
                          num_workers=args.num_workers, model=model_name,
-                         mesh=data_parallel_mesh(args.data_parallel))
+                         mesh=data_parallel_mesh(args.data_parallel,
+                                                 what="embedding"))
 
     # LUAD green, LUSC blue, unit RGB like the reference (testing_tcga.py:
     # 91-95: raw attention rescaled FIRST, then scaled by the unit color)

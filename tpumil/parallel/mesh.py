@@ -29,6 +29,9 @@ def take_devices(n: int):
     ``jax.devices()[:n]`` would run the job on fewer chips than the user
     asked for (e.g. --inst_shard 8 on a 4-chip host quietly becoming a
     4-way run)."""
+    if n < 0:
+        # devices[:-1] would silently build a mesh over the WRONG count
+        raise ValueError(f"device count must be non-negative, got {n}")
     devices = jax.devices()
     if len(devices) < n:
         raise ValueError(
@@ -53,6 +56,20 @@ def make_mesh(n_devices: Optional[int] = None,
         raise ValueError(f"{n} devices not divisible by inst_parallel={inst_parallel}")
     grid = np.asarray(devices).reshape(n // inst_parallel, inst_parallel)
     return Mesh(grid, (DATA_AXIS, INST_AXIS))
+
+
+def data_parallel_mesh(n: Optional[int], what: str = "extraction") -> Optional[Mesh]:
+    """``--data_parallel N`` handling shared by every feats/inference CLI
+    (compute_feats, slide_feats, attention_map, testing_*, pipeline): a
+    1-wide-inst mesh over the first N devices, or None when N is 0/None
+    (single-device path). Negative N is rejected loudly — ``devices[:n]``
+    slicing would otherwise silently run on the wrong device count."""
+    if not n:
+        return None
+    if n < 0:
+        raise ValueError(f"--data_parallel must be >= 0, got {n}")
+    print(f"data-parallel {what} over {n} devices")
+    return make_mesh(n, inst_parallel=1)
 
 
 def bag_batch_sharding(mesh: Mesh) -> Tuple[NamedSharding, NamedSharding, NamedSharding]:
