@@ -25,6 +25,61 @@ def _free_port() -> int:
     return port
 
 
+def _run_workers(stage: str, env_extra=None):
+    """Launch the two ranks and return their LOSSES lines as {rank: values}.
+
+    One retry on worker-process failure only: the coordinator handshake /
+    barrier can time out under full-suite load on this single-core host
+    (observed once in ~40 suite runs), and the freed port can be re-grabbed
+    between _free_port() and the coordinator's bind. Numeric assertions
+    happen in the caller and never retry — a deterministic regression still
+    fails (twice, with the first failure printed)."""
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(worker)))]
+        + env.get("PYTHONPATH", "").split(os.pathsep))
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    env.update(env_extra or {})
+    last = None
+    for attempt in range(2):
+        coord = f"127.0.0.1:{_free_port()}"
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(r), "2", coord, stage],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env) for r in range(2)]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                    q.communicate()
+                outs = None
+                break
+            outs.append((p.returncode, out, err))
+        if outs is None:
+            last = "distributed worker timed out"
+            continue
+        if any(rc != 0 for rc, _, _ in outs):
+            last = "\n".join(f"rank rc={rc}\nstdout:{out}\nstderr:{err}"
+                             for rc, out, err in outs)
+            if attempt == 0:
+                print(f"worker failure on attempt 1, retrying:\n{last}")
+            continue
+        losses = {}
+        for rc, out, err in outs:
+            for line in out.splitlines():
+                if line.startswith("LOSSES"):
+                    _, rank, *vals = line.split()
+                    losses[int(rank)] = [float(v) for v in vals]
+        assert set(losses) == {0, 1}, outs
+        return losses
+    pytest.fail(f"distributed workers failed twice; last:\n{last}")
+
+
 def _single_process_oracle():
     import jax
     import jax.numpy as jnp
@@ -121,37 +176,7 @@ def test_two_process_distributed(stage):
     the cross-process result must match both ranks and the single-process
     oracle. Covers all three scale-out pipelines (L4 agg / L1 SimCLR /
     L2 feature extraction — VERDICT r2 #9)."""
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
-    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
-    env = dict(os.environ)
-    env["PYTHONPATH"] = os.pathsep.join(
-        [os.path.dirname(os.path.dirname(os.path.abspath(worker)))]
-        + env.get("PYTHONPATH", "").split(os.pathsep))
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("XLA_FLAGS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(r), "2", coord, stage],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
-        for r in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed worker timed out")
-        outs.append((p.returncode, out, err))
-    for rc, out, err in outs:
-        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
-    losses = {}
-    for rc, out, err in outs:
-        for line in out.splitlines():
-            if line.startswith("LOSSES"):
-                _, rank, *vals = line.split()
-                losses[int(rank)] = [float(v) for v in vals]
-    assert set(losses) == {0, 1}, outs
+    losses = _run_workers(stage)
     # both processes observed the same replicated result
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
     # and it matches the single-process 4-device oracle
@@ -177,39 +202,8 @@ def test_distributed_checkpoint_restores_on_single_process(tmp_path):
     from tpumil.parallel.sharded_train import (device_put_batch,
                                                make_sharded_train_step)
 
-    port = _free_port()
-    coord = f"127.0.0.1:{port}"
-    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
     ckpt_dir = str(tmp_path / "dist_ckpt")
-    env = dict(os.environ)
-    env["PYTHONPATH"] = os.pathsep.join(
-        [os.path.dirname(os.path.dirname(os.path.abspath(worker)))]
-        + env.get("PYTHONPATH", "").split(os.pathsep))
-    env.pop("JAX_PLATFORMS", None)
-    env.pop("XLA_FLAGS", None)
-    env["MP_CKPT_DIR"] = ckpt_dir
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(r), "2", coord, "ckpt"],
-        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
-        for r in range(2)]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed worker timed out")
-        outs.append((p.returncode, out, err))
-    for rc, out, err in outs:
-        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
-    vals = {}
-    for rc, out, err in outs:
-        for line in out.splitlines():
-            if line.startswith("LOSSES"):
-                _, rank, *v = line.split()
-                vals[int(rank)] = [float(x) for x in v]
-    assert set(vals) == {0, 1}, outs
+    vals = _run_workers("ckpt", env_extra={"MP_CKPT_DIR": ckpt_dir})
     np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)
     *worker_losses, worker_fp = vals[0]
 

@@ -534,3 +534,41 @@ def test_npy_chunks_bytes_identical_to_np_save():
     f = np.asfortranarray(np.arange(12.0).reshape(3, 4))
     wire = b"".join(bytes(c) for c in _npy_chunks(f))
     np.testing.assert_array_equal(np.load(io.BytesIO(wire)), f)
+
+
+def test_build_service_uses_shared_data_parallel_helper(monkeypatch):
+    """serve's --data_parallel flows through parallel.mesh.data_parallel_mesh
+    (the one handler shared by every feats/inference CLI): N -> an N-device
+    1-wide-inst mesh handed to InferenceService, 0 -> no mesh, negative ->
+    the helper's loud ValueError (not a silent devices[:n] slice)."""
+    import argparse
+
+    import tpumil.infer.service as service_mod
+    from tpumil.cli.serve import build_service
+
+    captured = {}
+
+    class FakeService:
+        def __init__(self, *a, **kw):
+            captured["mesh"] = kw.get("mesh")
+
+    monkeypatch.setattr(service_mod, "InferenceService", FakeService)
+    monkeypatch.setattr(
+        "tpumil.models.embedder.load_simclr_checkpoint",
+        lambda path, cfg: {"stub": np.zeros(1)})
+
+    def args(dp):
+        return argparse.Namespace(
+            embedder_weights="unused.pth", aggregator_weights=None,
+            num_classes=2, backbone="resnet18", norm="instance",
+            precision="f32", space_to_depth=False, batch_size=8,
+            patch_size=32, max_wait_ms=1.0, thres=None, average=False,
+            data_parallel=dp)
+
+    build_service(args(0))
+    assert captured["mesh"] is None
+    build_service(args(8))
+    assert captured["mesh"].devices.shape == (8, 1)
+    assert captured["mesh"].axis_names == ("data", "inst")
+    with pytest.raises(ValueError, match=">= 0"):
+        build_service(args(-2))

@@ -243,17 +243,10 @@ def build_service(args):
         emb_params = embedder.load_simclr_checkpoint(
             args.embedder_weights, emb_cfg)
         agg_params, model_name = None, None
-    mesh = None
-    if getattr(args, "data_parallel", 0) > 1:
-        import jax
-        import numpy as _np
-        from jax.sharding import Mesh
+    from tpumil.parallel.mesh import data_parallel_mesh
 
-        devices = jax.devices()
-        if len(devices) < args.data_parallel:
-            raise ValueError(f"--data_parallel {args.data_parallel} but only "
-                             f"{len(devices)} devices visible")
-        mesh = Mesh(_np.asarray(devices[:args.data_parallel]), ("data",))
+    mesh = data_parallel_mesh(getattr(args, "data_parallel", 0),
+                              what="serving")
     return InferenceService(
         emb_params, emb_cfg, agg_params=agg_params,
         model=model_name or "dsmil", batch_size=args.batch_size,
