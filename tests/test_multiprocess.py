@@ -54,18 +54,21 @@ def _run_workers(stage: str, env_extra=None):
             try:
                 out, err = p.communicate(timeout=900)
             except subprocess.TimeoutExpired:
-                for q in procs:
-                    q.kill()
-                    q.communicate()
                 outs = None
+                partial = []
+                for q in procs:
+                    if q.returncode is None:  # not yet reaped this attempt
+                        q.kill()
+                        qo, qe = q.communicate()
+                        partial.append(f"rank (killed after timeout)"
+                                       f"\nstdout:{qo}\nstderr:{qe}")
+                last = "distributed worker timed out\n" + "\n".join(partial)
                 break
             outs.append((p.returncode, out, err))
-        if outs is None:
-            last = "distributed worker timed out"
-            continue
-        if any(rc != 0 for rc, _, _ in outs):
-            last = "\n".join(f"rank rc={rc}\nstdout:{out}\nstderr:{err}"
-                             for rc, out, err in outs)
+        if outs is None or any(rc != 0 for rc, _, _ in outs):
+            if outs is not None:
+                last = "\n".join(f"rank rc={rc}\nstdout:{out}\nstderr:{err}"
+                                 for rc, out, err in outs)
             if attempt == 0:
                 print(f"worker failure on attempt 1, retrying:\n{last}")
             continue

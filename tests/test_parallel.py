@@ -404,7 +404,7 @@ def test_take_devices_raises_when_insufficient():
 
 
 def test_data_parallel_mesh_helper():
-    """The one --data_parallel handler shared by all five feats/inference
+    """The one --data_parallel handler shared by every feats/inference
     CLIs: 0/None -> single-device (no mesh), N -> N-device 1-wide-inst mesh,
     negative -> loud error (NOT a devices[:-1] slice)."""
     from tpumil.parallel.mesh import data_parallel_mesh

@@ -96,3 +96,46 @@ def test_pipeline_validates_sharding_up_front(tmp_path, monkeypatch, capsys):
     with pytest.raises(SystemExit):
         main(["--config", "neg.yaml", "--stages", "feats", "--device", "cpu"])
     assert ">= 0" in capsys.readouterr().err
+
+
+def test_pipeline_validates_devices_and_train_sharding_up_front(
+        tmp_path, monkeypatch, capsys):
+    """Device availability and the train stage's sharding fields are also
+    checked at parse time: asking for more devices than the host has (or
+    inst_shard + data_parallel together) must not survive until the stage
+    that finally builds the mesh."""
+    import pytest
+
+    from tpumil.cli.pipeline import main
+
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "toomany.yaml").write_text(
+        "dataset: demo\n"
+        "magnifications: [0]\n"
+        "embedder:\n  num_classes: 1\n  batch_size: 32\n  data_parallel: 16\n"
+        "train:\n  num_classes: 1\n")  # 16 > the suite's 8 virtual devices
+    with pytest.raises(SystemExit):
+        main(["--config", "toomany.yaml", "--stages", "tile,simclr,feats",
+              "--device", "cpu"])
+    err = capsys.readouterr().err
+    assert "embedder.data_parallel" in err and "16" in err
+    assert not os.path.exists("runs")
+
+    (tmp_path / "trainshard.yaml").write_text(
+        "dataset: demo\n"
+        "magnifications: [0]\n"
+        "embedder:\n  num_classes: 1\n"
+        "train:\n  num_classes: 1\n  inst_shard: 16\n")
+    with pytest.raises(SystemExit):
+        main(["--config", "trainshard.yaml", "--stages", "train",
+              "--device", "cpu"])
+    assert "train.inst_shard" in capsys.readouterr().err
+
+    (tmp_path / "both.yaml").write_text(
+        "dataset: demo\n"
+        "magnifications: [0]\n"
+        "embedder:\n  num_classes: 1\n"
+        "train:\n  num_classes: 1\n  inst_shard: 2\n  data_parallel: 2\n")
+    with pytest.raises(SystemExit):
+        main(["--config", "both.yaml", "--stages", "train", "--device", "cpu"])
+    assert "mutually exclusive" in capsys.readouterr().err

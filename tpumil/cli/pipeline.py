@@ -36,9 +36,9 @@ def main(argv=None):
     for s in stages:
         if s not in STAGES:
             parser.error(f"unknown stage {s!r}; valid: {STAGES}")
-    # Validate every cross-stage sharding constraint UP FRONT: the maps stage
-    # runs last, after potentially hours of training — a divisibility error
-    # there would discard the whole run.
+    # Validate every cross-stage sharding constraint UP FRONT: the train and
+    # maps stages run last, after potentially hours of tiling/pretraining —
+    # a divisibility or too-few-devices error there would discard the run.
     dp = cfg.embedder.data_parallel
     if dp:
         if dp < 0:
@@ -52,6 +52,30 @@ def main(argv=None):
                 f"inference.batch_size {cfg.inference.batch_size} must divide "
                 f"by embedder.data_parallel {dp} (maps stage shards patch "
                 f"batches over the same mesh as feats)")
+    device_asks = []
+    if dp and ("feats" in stages or "maps" in stages):
+        device_asks.append(("embedder.data_parallel", dp))
+    if "train" in stages:
+        if cfg.train.inst_shard and cfg.train.data_parallel:
+            parser.error("train.inst_shard and train.data_parallel are "
+                         "mutually exclusive (per-bag vs minibatch "
+                         "optimization)")
+        for name, val in (("train.inst_shard", cfg.train.inst_shard),
+                          ("train.data_parallel", cfg.train.data_parallel)):
+            if val < 0:
+                parser.error(f"{name} must be >= 0, got {val}")
+            if val:
+                device_asks.append((name, val))
+    if device_asks:
+        # platform is already selected: a cheap probe now beats a crash in
+        # the stage that finally builds the mesh
+        from tpumil.parallel.mesh import take_devices
+
+        for name, val in device_asks:
+            try:
+                take_devices(val)
+            except ValueError as exc:
+                parser.error(f"{name}: {exc}")
 
     run_dir = os.path.join(args.run_root, cfg.dataset)
     os.makedirs(run_dir, exist_ok=True)
@@ -168,7 +192,8 @@ def main(argv=None):
                              num_workers=cfg.inference.num_workers,
                              model=model_name,
                              # same scale-out as the feats stage above
-                             mesh=data_parallel_mesh(cfg.embedder.data_parallel))
+                             mesh=data_parallel_mesh(cfg.embedder.data_parallel,
+                                                     what="embedding"))
         layout = "pyramid" if len(cfg.magnifications) > 1 else "single"
         bags_list = sorted(glob.glob(os.path.join(cfg.wsi_root, cfg.dataset,
                                                   layout, "*", "*")))

@@ -60,8 +60,8 @@ def make_mesh(n_devices: Optional[int] = None,
 
 def data_parallel_mesh(n: Optional[int], what: str = "extraction") -> Optional[Mesh]:
     """``--data_parallel N`` handling shared by every feats/inference CLI
-    (compute_feats, slide_feats, attention_map, testing_*, pipeline): a
-    1-wide-inst mesh over the first N devices, or None when N is 0/None
+    (compute_feats, slide_feats, attention_map, testing_*, serve, pipeline):
+    a 1-wide-inst mesh over the first N devices, or None when N is 0/None
     (single-device path). Negative N is rejected loudly — ``devices[:n]``
     slicing would otherwise silently run on the wrong device count."""
     if not n:
