@@ -572,3 +572,22 @@ def test_build_service_uses_shared_data_parallel_helper(monkeypatch):
     assert captured["mesh"].axis_names == ("data", "inst")
     with pytest.raises(ValueError, match=">= 0"):
         build_service(args(-2))
+
+
+def test_predict_empty_bag_raises_cleanly(service):
+    with pytest.raises(ValueError, match="empty bag"):
+        service.predict(np.zeros((0, FEATS), np.float32))
+
+
+def test_heatmap_rejects_empty_and_giant_grids(service):
+    with pytest.raises(ValueError, match="empty bag"):
+        service.heatmap(np.zeros((0, PATCH, PATCH, 3), np.uint8),
+                             np.zeros((0, 2), np.int64))
+    # one in-contract patch placed at a far corner implies a grid whose
+    # x32 float64 render would be hundreds of GB — must be refused, not
+    # attempted (the batch attention_map path is for giant slides)
+    imgs = np.zeros((1, PATCH, PATCH, 3), np.uint8)
+    with pytest.raises(ValueError, match="grid too large"):
+        service.heatmap(imgs, np.asarray([[4096, 4096]]))
+    with pytest.raises(ValueError, match="non-negative"):
+        service.heatmap(imgs, np.asarray([[-1, 0]]))

@@ -448,3 +448,24 @@ def test_store_min_bucket_follows_inst_shard(rng):
     store = _global_store(
         bags, WSITrainConfig(feats_size=16, num_classes=1, inst_shard=32))
     assert all(s % 32 == 0 for s in store.bucket_sizes)
+
+
+def test_feature_store_same_basename_across_classes(tmp_path):
+    """class0/1.csv and class1/1.csv must BOTH survive the cache build.
+    The reference keys cache files by basename alone (train_tcga.py:50),
+    silently overwriting one bag with the other — a documented deviation:
+    colliding names are disambiguated by their class dir."""
+    from tpumil.data.feature_store import write_bag_csv
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for cls, label in (("class0", 0), ("class1", 1)):
+        path = str(tmp_path / cls / "1.csv")
+        write_bag_csv(rng.standard_normal((4, 8)).astype(np.float32), path)
+        entries.append((path, label))
+    cache = BagCache(str(tmp_path / "cache"))
+    paths = cache.build(entries, num_classes=2, seed=0)
+    assert len(paths) == len(set(paths)) == 2
+    loaded = cache.load_all(paths)
+    labels = sorted(int(np.argmax(b.label)) for b in loaded)
+    assert labels == [0, 1]

@@ -83,11 +83,22 @@ class BagCache:
         os.makedirs(self.cache_dir, exist_ok=True)
         rng = np.random.default_rng(seed)
         paths = []
+        seen = {}
         for i, (entry_path, raw_label) in enumerate(entries):
             csv_path = resolve_bag_path(entry_path, dataset)
             feats = read_bag_csv(csv_path, shuffle_rows=True, rng=rng)
             label = encode_label(raw_label, num_classes)
             name = os.path.splitext(os.path.basename(csv_path))[0]
+            # The reference keys cache files by basename alone
+            # (train_tcga.py:50), so class0/x.csv and class1/x.csv silently
+            # overwrite each other — one bag trains twice under the wrong
+            # label, the other vanishes. Disambiguate instead of corrupting.
+            if seen.get(name, csv_path) != csv_path:
+                parent = os.path.basename(os.path.dirname(csv_path))
+                name = f"{parent}_{name}" if parent else name
+                while seen.get(name, csv_path) != csv_path:
+                    name = f"{name}_{i}"
+            seen.setdefault(name, csv_path)
             out = os.path.join(self.cache_dir, name + ".npz")
             np.savez_compressed(out, feats=feats, label=label)
             paths.append(out)

@@ -104,8 +104,13 @@ class PatchBatchLoader:
         # divide) — 4x less host conversion work and host->device transfer
         self.out_dtype = np.dtype(out_dtype)
         assert self.out_dtype in (np.float32, np.uint8)
-        # more threads than cores only adds contention (decode is CPU-bound)
-        self.num_workers = max(1, min(num_workers, os.cpu_count() or 1))
+        # Honor the configured fan: this pool blocks on file reads (and PIL
+        # releases the GIL for much of the decode), so oversubscribing cores
+        # WINS — measured 14.8 vs 11.7 slides/min at 4 vs 1 threads on the
+        # 1-core dev host (docs/PERF.md thread policy; same class of pool as
+        # tiler.py / stream_embed.py). Only PURE-CPU native fans clamp to
+        # cpu_count, and utils/native.decode_batch self-clamps already.
+        self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
         if use_native is None:
             # native decode needs a fixed output size and JPEG inputs

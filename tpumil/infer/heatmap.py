@@ -99,22 +99,15 @@ class BagInference:
         feats = np.concatenate([np.asarray(f)[:n] for f, n in feats_parts])
         ins_logits = np.concatenate([np.asarray(c)[:n] for c, n in logits_parts])
 
-        n = feats.shape[0]
-        from tpumil.data.bags import bucket_length
+        from tpumil.infer.common import pad_bag_to_bucket, testing_flow_average
 
-        nmax = bucket_length(n)
-        feats_p = np.zeros((nmax, feats.shape[1]), np.float32)
-        logits_p = np.zeros((nmax, ins_logits.shape[1]), np.float32)
-        feats_p[:n] = feats
-        logits_p[:n] = ins_logits
-        mask = np.arange(nmax) < n
+        feats_p, logits_p, mask, n = pad_bag_to_bucket(feats, ins_logits)
         c, bag_logits, attn, _ = self._aggregate(
             self.agg_params, jnp.asarray(feats_p), jnp.asarray(logits_p),
             jnp.asarray(mask))
         scores = np.asarray(jax.nn.sigmoid(bag_logits))
         if average:
-            max_logits = np.max(ins_logits, axis=0)
-            scores = (scores + 1.0 / (1.0 + np.exp(-max_logits))) / 2.0
+            scores = testing_flow_average(scores, ins_logits)
         return scores, np.asarray(attn)[:n], ins_logits, positions
 
 

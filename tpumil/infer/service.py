@@ -40,8 +40,10 @@ from tpumil.models.embedder import EmbedderConfig
 
 @dataclasses.dataclass
 class ServiceStats:
-    """Serving counters (all monotonic; read without locking is fine for
-    monitoring — torn reads of a counter dict are harmless)."""
+    """Serving counters (all monotonic). Writes are single-writer per field:
+    requests/patches increment under the batcher's submit lock,
+    batches/batch_rows/errors only from the one worker thread. Reads skip
+    locking — torn reads of monitoring counters are harmless."""
     requests: int = 0
     patches: int = 0
     batches: int = 0
@@ -124,6 +126,12 @@ class MicroBatcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=queue_limit)
         self.stats = ServiceStats()
         self._stop = threading.Event()
+        # Orders submit against close: a submit that passed the closed check
+        # fully enqueues BEFORE stop can be set, so the worker's
+        # stop+empty-queue exit condition can never strand its rows. Also
+        # serializes the stats `+=` across server threads (the worker-side
+        # counters have a single writer and need no lock).
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True,
                                         name="tpumil-microbatcher")
         self._worker.start()
@@ -133,8 +141,6 @@ class MicroBatcher:
     def submit(self, images: np.ndarray) -> _Request:
         """Enqueue ``[N, P, P, 3]`` images; returns a request whose
         ``.result()`` is ``[N, out_width]`` float32 in row order."""
-        if self._stop.is_set():
-            raise RuntimeError("batcher is closed")
         images = np.ascontiguousarray(images)
         if images.ndim != 4 or images.shape[1:] != (self.patch_size,
                                                     self.patch_size, 3):
@@ -148,16 +154,20 @@ class MicroBatcher:
         if images.shape[0] == 0:
             req._event.set()
             return req
-        self.stats.requests += 1
-        self.stats.patches += images.shape[0]
-        # split oversize requests into chunks the packer can interleave
-        for start in range(0, images.shape[0], self.batch_size):
-            chunk = images[start:start + self.batch_size]
-            self._q.put((req, chunk, start))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("batcher is closed")
+            self.stats.requests += 1
+            self.stats.patches += images.shape[0]
+            # split oversize requests into chunks the packer can interleave
+            for start in range(0, images.shape[0], self.batch_size):
+                chunk = images[start:start + self.batch_size]
+                self._q.put((req, chunk, start))
         return req
 
     def close(self) -> None:
-        self._stop.set()
+        with self._submit_lock:  # waits out any in-flight submit
+            self._stop.set()
         self._worker.join(timeout=5.0)
 
     # -- worker side --------------------------------------------------------
@@ -308,16 +318,10 @@ class InferenceService:
         if feats.ndim != 2 or feats.shape[1] != self.num_feats:
             raise ValueError(f"expected [N, {self.num_feats}] features, "
                              f"got {feats.shape}")
-        from tpumil.data.bags import bucket_length
+        from tpumil.infer.common import pad_bag_to_bucket, testing_flow_average
 
-        n = feats.shape[0]
-        nmax = bucket_length(n)
-        feats_p = np.zeros((nmax, feats.shape[1]), np.float32)
-        feats_p[:n] = feats
-        mask = np.arange(nmax) < n
-        if ins_logits is not None:
-            logits_p = np.zeros((nmax, self.num_classes), np.float32)
-            logits_p[:n] = ins_logits
+        feats_p, logits_p, mask, n = pad_bag_to_bucket(feats, ins_logits)
+        if logits_p is not None:
             c, bag_logits, attn, _ = self._aggregate_with_logits(
                 self.agg_params, jnp.asarray(feats_p), jnp.asarray(logits_p),
                 jnp.asarray(mask))
@@ -327,10 +331,7 @@ class InferenceService:
         c = np.asarray(c)[:n]
         scores = np.asarray(jax.nn.sigmoid(bag_logits)).reshape(-1)
         if self.average:
-            # testing flow: mean of bag sigmoid and max-instance sigmoid
-            # (attention_map.py:88, testing_tcga.py:150)
-            max_logits = np.max(c, axis=0)
-            scores = (scores + 1.0 / (1.0 + np.exp(-max_logits))) / 2.0
+            scores = testing_flow_average(scores, c)
         thres = self.thresholds if self.thresholds is not None \
             else np.full((scores.shape[0],), 0.5, np.float32)
         detected = [int(i) for i in np.nonzero(scores >= thres)[0]]
@@ -349,28 +350,46 @@ class InferenceService:
         feats, logits = self.embed_with_logits(images, timeout)
         return self.predict(feats, ins_logits=logits)
 
+    # The render allocates a dense (max_col+1, max_row+1) grid upscaled x32
+    # in float64 (~25 KB per grid CELL) from CLIENT-supplied coordinates, so
+    # a serving endpoint must bound the grid AREA, not just each coordinate:
+    # a single [[4096, 4096]] position would otherwise demand a ~412 GB
+    # render and OOM the process for every client. 2^16 cells (e.g. 256x256
+    # tiles, a large slide at low magnification) caps the render at ~1.6 GB;
+    # bigger maps belong on the batch path (run_attention_maps).
+    MAX_GRID_CELLS = 1 << 16
+
     def heatmap(self, images: np.ndarray, positions: np.ndarray,
                 colors: Optional[np.ndarray] = None,
                 timeout: Optional[float] = 120.0):
         """End-to-end bag heatmap: predict from raw patches, render the
         attention color map on the tile grid (attention_map.py:91-113
         semantics via infer/heatmap.render_color_map). ``positions`` is
-        [N, 2] (row, col) tile coordinates; ``colors`` is an optional
-        [num_classes, 3] RGB-in-[0,255] palette — the reference draws
-        RANDOM class colors per run (attention_map.py:63), a serving
+        [N, 2] (col, row) tile coordinates — the ``<col>_<row>`` patch
+        filename convention, and the column order of the ``.pos.csv``
+        sidecars written by compute_feats/slide_feats; ``colors`` is an
+        optional [num_classes, 3] RGB-in-[0,255] palette — the reference
+        draws RANDOM class colors per run (attention_map.py:63), a serving
         endpoint uses a fixed deterministic palette instead.
 
-        Returns ``(image01 [H*32, W*32, 3] float, result dict)``."""
+        Returns ``(image01 [W*32, H*32, 3] float, result dict)``."""
         images = np.ascontiguousarray(images)
         positions = np.asarray(positions)
+        if images.shape[0] == 0:
+            raise ValueError("empty bag (0 patches) cannot be rendered")
         if positions.ndim != 2 or positions.shape != (images.shape[0], 2):
             raise ValueError(f"positions must be [{images.shape[0]}, 2], "
                              f"got {positions.shape}")
-        if positions.size and (positions.min() < 0
-                               or positions.max() > 4096):
-            raise ValueError("positions must be tile-grid indices in "
-                             "[0, 4096]")
+        if positions.min() < 0:
+            raise ValueError("positions must be non-negative tile-grid "
+                             "indices")
         positions = positions.astype(np.int64)
+        cells = int(positions[:, 0].max() + 1) * int(positions[:, 1].max() + 1)
+        if cells > self.MAX_GRID_CELLS:
+            raise ValueError(
+                f"tile grid too large to render in-service: "
+                f"{cells} cells > {self.MAX_GRID_CELLS} (use the batch "
+                f"attention_map path for giant slides)")
         if colors is None:
             colors = _DEFAULT_PALETTE
         result = self.predict_patches(images, timeout)
