@@ -77,6 +77,17 @@ def test_patch_dropout_mask():
     assert int(out_full.sum()) == 20
 
 
+def test_patch_dropout_count_matches_reference_float64():
+    """The kept count is the reference's exact int(num_rows * p) in float64
+    (train_tcga.py:79). floor(f32(n) * f32(p)) differs by one on thousands
+    of (n, p) pairs — e.g. f32(2150)*f32(0.94) rounds UP across the 2021
+    boundary while float64 2150*0.94 = 2020.99... stays below it."""
+    for n, p in ((2150, 0.94), (4096, 0.7), (20000, 0.33), (7, 0.99)):
+        mask = jnp.asarray(np.arange(1 << (n - 1).bit_length()) < n)
+        out = patch_dropout_mask(jax.random.PRNGKey(1), mask, p)
+        assert int(out.sum()) == int(n * p), (n, p)
+
+
 def test_trainer_converges_on_separable_bags():
     rng = np.random.default_rng(7)
     bags = make_separable_bags(rng, num_bags=30, feats=24)

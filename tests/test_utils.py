@@ -196,3 +196,54 @@ def test_probe_backend_success_detail(monkeypatch):
     monkeypatch.setattr(subprocess, "run", fake_run)
     ok, detail = plat.probe_backend(attempts=3, timeout_s=90.0)
     assert ok and detail == "cpu 1 512.0"
+
+
+def test_sharded_save_after_crash_resume_never_orphans(tmp_path, monkeypatch):
+    """The fatal sequence the swap ordering must survive: save N crashed
+    between its two renames (only .prev exists), the run resumed from
+    .prev, and save N+1 runs. The old ordering deleted .prev FIRST — a kill
+    before the new rename left NO loadable checkpoint. Now .prev must stay
+    loadable until the new `path` is in place."""
+    import os as _os
+
+    from tpumil.io import native_ckpt
+    from tpumil.io.native_ckpt import (load_sharded_train_state,
+                                       save_sharded_train_state)
+
+    path = str(tmp_path / "state")
+    like = {"w": np.zeros((4,), np.float32)}
+    save_sharded_train_state(path, {"w": np.full((4,), 1.0, np.float32)},
+                             meta={"gen": 1})
+    # simulate the mid-swap crash: path gone, .prev is the only copy
+    _os.rename(path, path + ".prev")
+
+    # kill the next save at EVERY possible rename boundary and require a
+    # loadable checkpoint at each
+    real_rename = _os.rename
+    for crash_at in (0, 1, None):  # before 1st rename, before 2nd, no crash
+        calls = {"n": 0}
+
+        def rename(src, dst):
+            if crash_at is not None and calls["n"] == crash_at:
+                raise KeyboardInterrupt("simulated kill")
+            calls["n"] += 1
+            return real_rename(src, dst)
+
+        monkeypatch.setattr(native_ckpt.os, "rename", rename)
+        try:
+            save_sharded_train_state(
+                path, {"w": np.full((4,), 2.0, np.float32)}, meta={"gen": 2})
+        except KeyboardInterrupt:
+            pass
+        monkeypatch.setattr(native_ckpt.os, "rename", real_rename)
+        st, meta = load_sharded_train_state(path, like)
+        assert meta["gen"] in (1, 2)  # SOME generation always loads
+        if crash_at is None:
+            assert meta["gen"] == 2 and not _os.path.exists(path + ".prev")
+        else:
+            # crashed: re-enter the resumed-from-.prev-only state for the
+            # next loop iteration
+            if _os.path.exists(path):
+                import shutil
+                shutil.rmtree(path + ".prev", ignore_errors=True)
+                real_rename(path, path + ".prev")

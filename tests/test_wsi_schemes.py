@@ -281,8 +281,17 @@ def test_mid_fold_state_resume_exact(tmp_path, rng):
                    tuple(str(x) for x in k)]
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg=f"param {k} not bitwise")
-    # completed fold cleans its state dir (no stale shadow for reruns)
-    assert not os.path.isdir(str(tmp_path / "s2"))
+    # train_fold itself leaves the state dir: the completion marker must
+    # hit disk BEFORE the state is deleted (a crash between the two would
+    # otherwise lose the fold). The marker writer owns the cleanup.
+    from tpumil.train.schemes import _mark_fold_done
+
+    assert os.path.isdir(str(tmp_path / "s2"))
+    marked_dir = str(tmp_path)
+    os.rename(str(tmp_path / "s2"), os.path.join(marked_dir, "fold_0_state"))
+    _mark_fold_done(marked_dir, 0, resumed, "5-fold-cv", cfg)
+    assert not os.path.isdir(os.path.join(marked_dir, "fold_0_state"))
+    assert os.path.exists(os.path.join(marked_dir, "fold_0.done.json"))
 
     # a foreign fingerprint must NOT be adopted
     orig(str(tmp_path / "s3"), {"params": {}, "opt_state": {},

@@ -95,8 +95,14 @@ def save_sharded_train_state(path: str, arrays: Any, *,
             state=ocp.args.StandardSave(arrays),
             meta=ocp.args.JsonSave(meta or {})), force=True)
     if jax.process_index() == 0:
-        shutil.rmtree(prev, ignore_errors=True)
+        # Ordering is load-bearing: `prev` may be the ONLY loadable copy
+        # (the previous save crashed between its two renames, so `path` is
+        # missing and the loader fell back to `.prev`). Deleting it is only
+        # safe while `path` holds a complete generation — so the demotion
+        # happens strictly under `if path exists`, and an orphaned `prev`
+        # survives until the new `path` has been renamed into place.
         if os.path.exists(path):
+            shutil.rmtree(prev, ignore_errors=True)
             os.rename(path, prev)
         os.rename(inflight, path)
         shutil.rmtree(prev, ignore_errors=True)

@@ -72,6 +72,11 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
     which already satisfied its class-coverage retry loop — makes fold
     membership bit-identical to a reference run on the same file
     (tests/test_reference_e2e.py)."""
+    if cfg.init not in ("orthogonal", "torch_default"):
+        # a typo ("torch-default", "default") must not silently measure
+        # orthogonal init under the wrong name
+        raise ValueError(f"init must be 'orthogonal' or 'torch_default', "
+                         f"got {cfg.init!r}")
     rng = np.random.default_rng(cfg.seed)
     if permutation is not None:
         if sorted(permutation) != list(range(len(bags))):
@@ -80,8 +85,6 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
     else:
         bags = shuffle_with_class_coverage(list(bags), cfg.cv_fold, rng)
     lr_of = cosine_annealing_lr(cfg.lr, cfg.num_epochs, 0.0)
-    # ship the dataset to device once; folds are device-side gathers
-    global_store = _global_store(bags, cfg)
     accs = []
     indices = list(range(len(bags)))
     # one trainer (and one set of compiled programs) for all folds; the
@@ -103,9 +106,8 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
             optimizer=optimizer,
             model=model or cfg.model,
         )
-    if global_store is not None:
-        # the global store stays HBM-resident while fold subsets train
-        trainer.extra_resident_bytes = global_store.nbytes()
+    # ship the dataset to device once; folds are device-side gathers
+    global_store = _global_store(bags, cfg, trainer)
     for k in range(cfg.cv_fold):
         train_bags, test_bags = cross_validation_split(bags, cfg.cv_fold, k)
         trainer.pos_weight = np.asarray([compute_pos_weight(train_bags)],
@@ -135,8 +137,14 @@ def run_mil_cv(bags: List[Bag], cfg: MILBenchConfig,
             train_bags = global_store.subset(tr_idx)
             test_bags = global_store.subset(te_idx)
         for epoch in range(cfg.num_epochs):
+            # the reference's epoch_train iterates the ONE fixed post-split
+            # bag order every epoch (train_mil.py:44) — unlike train_tcga,
+            # which reshuffles per epoch — so the bench trains unshuffled
+            # (bucket grouping still interleaves by first appearance, the
+            # documented static-shape deviation)
             params, opt_state, train_loss = trainer.train_epoch(
-                params, opt_state, train_bags, lr_of(epoch), rng)
+                params, opt_state, train_bags, lr_of(epoch), rng,
+                shuffle=False)
             scores, losses = trainer.predict(params, test_bags)
             acc, auc, prec, rec, f1 = metrics.five_scores(labels, scores[:, 0])
             best_acc = max(best_acc, acc)
@@ -393,12 +401,10 @@ def train_fold(trainer: BagTrainer, train_bags: Sequence[Bag],
                       "rng_state": rng.bit_generator.state})
         if counter > cfg.stop_epochs:
             break
-    if state_dir:
-        # the fold is complete: its marker takes over; a stale mid-fold
-        # state must not shadow a rerun of a different experiment
-        import shutil
-
-        shutil.rmtree(state_dir, ignore_errors=True)
+    # the mid-fold state is NOT deleted here: the caller's completion marker
+    # must hit disk first (_mark_fold_done/_mark_iteration_done clean up via
+    # _clear_fold_state) — deleting before the marker exists would open a
+    # crash window where neither survives and the whole fold retrains
     return best
 
 
@@ -418,14 +424,21 @@ def _required_min_bucket(cfg) -> int:
     return n
 
 
-def _global_store(bags, cfg):
+def _global_store(bags, cfg, trainer=None):
     """One HBM-resident store for the whole dataset; folds become
-    device-side gathers (DeviceBagStore.subset)."""
+    device-side gathers (DeviceBagStore.subset). When ``trainer`` is given
+    its ``extra_resident_bytes`` is set in the same breath: the store stays
+    HBM-resident while fold SUBSETS train, so the auto giant-bag dispatch
+    must count it (train/trainer.py) — keeping the accounting here means no
+    scheme can forget it."""
     if not cfg.use_device_store:
         return None
     from tpumil.data.device_store import DeviceBagStore
 
-    return DeviceBagStore(bags, min_bucket=_required_min_bucket(cfg))
+    store = DeviceBagStore(bags, min_bucket=_required_min_bucket(cfg))
+    if trainer is not None:
+        trainer.extra_resident_bytes = store.nbytes()
+    return store
 
 
 def _fold_views(store, bags, tr_idx, te_idx):
@@ -439,12 +452,7 @@ def run_5fold_cv(bags: List[Bag], cfg: WSITrainConfig,
                  save_dir: Optional[str] = None) -> dict:
     """train_tcga.py:252-294."""
     trainer = _make_trainer(cfg)
-    store = _global_store(bags, cfg)
-    if store is not None:
-        # the global store stays HBM-resident while fold SUBSETS train; the
-        # auto giant-bag dispatch must count it (train/trainer.py
-        # extra_resident_bytes)
-        trainer.extra_resident_bytes = store.nbytes()
+    store = _global_store(bags, cfg, trainer)
     fold_results = []
     for fold, (tr_idx, te_idx) in enumerate(_kfold_indices(len(bags), 5)):
         resumed = _try_resume_fold(cfg, save_dir, fold, log, "5-fold-cv")
@@ -496,12 +504,7 @@ def run_5time_tvt(bags: List[Bag], cfg: WSITrainConfig,
     reference run is reproducible at all)."""
     scheme = "5-time-train+valid+test"
     trainer = _make_trainer(cfg)
-    store = _global_store(bags, cfg)
-    if store is not None:
-        # the global store stays HBM-resident while fold SUBSETS train; the
-        # auto giant-bag dispatch must count it (train/trainer.py
-        # extra_resident_bytes)
-        trainer.extra_resident_bytes = store.nbytes()
+    store = _global_store(bags, cfg, trainer)
     results = []
     for it in range(5):
         resumed = _try_resume_iteration(cfg, save_dir, it, log, scheme)
@@ -560,12 +563,7 @@ def run_5fold_cv_standalone_test(bags: List[Bag], cfg: WSITrainConfig,
 
     trainer = _make_trainer(cfg)
     rng = np.random.default_rng(cfg.seed)
-    store = _global_store(bags, cfg)
-    if store is not None:
-        # the global store stays HBM-resident while fold SUBSETS train; the
-        # auto giant-bag dispatch must count it (train/trainer.py
-        # extra_resident_bytes)
-        trainer.extra_resident_bytes = store.nbytes()
+    store = _global_store(bags, cfg, trainer)
     if permutation is not None:
         order = np.asarray(permutation, dtype=np.int64)
         if sorted(order.tolist()) != list(range(len(bags))):
@@ -644,6 +642,20 @@ def _fold_state_dir(save_dir: Optional[str], fold: int) -> Optional[str]:
     return os.path.join(save_dir, f"fold_{fold}_state") if save_dir else None
 
 
+def _clear_fold_state(save_dir: Optional[str], fold: int) -> None:
+    """Remove a completed fold's mid-fold state (all generations, including
+    the ``.prev``/``.inflight`` siblings of a save that crashed mid-swap) —
+    a stale state must not shadow a rerun of a different experiment. Called
+    only AFTER the completion marker is on disk."""
+    state_dir = _fold_state_dir(save_dir, fold)
+    if not state_dir:
+        return
+    import shutil
+
+    for d in (state_dir, state_dir + ".prev", state_dir + ".inflight"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _try_resume_iteration(cfg: WSITrainConfig, save_dir: Optional[str],
                           it: int, log, scheme: str) -> Optional[dict]:
     """5-time-tvt counterpart of _try_resume_fold: adopt a completed
@@ -673,6 +685,7 @@ def _mark_iteration_done(save_dir: Optional[str], it: int, res: dict,
         json.dump({**{k: (list(map(float, v)) if isinstance(v, (list, tuple))
                           else float(v)) for k, v in res.items()},
                    "fingerprint": _cfg_fingerprint(cfg, scheme)}, f)
+    _clear_fold_state(save_dir, it)
 
 
 def _cfg_fingerprint(cfg: WSITrainConfig, scheme: str) -> str:
@@ -691,7 +704,12 @@ def _cfg_fingerprint(cfg: WSITrainConfig, scheme: str) -> str:
             # experiment. inst_shard deliberately excluded (same trajectory
             # to float tolerance); the suffix form keeps every pre-dp
             # fingerprint string (and its saved markers) valid.
-            + (f"|dp{cfg.data_parallel}" if cfg.data_parallel else ""))
+            + (f"|dp{cfg.data_parallel}" if cfg.data_parallel else "")
+            # the store and list training paths consume the host RNG
+            # differently (per-bucket vs per-chunk draws) — different
+            # trajectories, so a resume must not mix them. Suffix only for
+            # the non-default so existing default-config markers stay valid.
+            + ("" if cfg.use_device_store else "|nostore"))
 
 
 def _try_resume_fold(cfg: WSITrainConfig, save_dir: Optional[str], fold: int,
@@ -728,6 +746,7 @@ def _mark_fold_done(save_dir: Optional[str], fold: int, best: dict, scheme: str,
         json.dump({"acc": best["acc"], "aucs": list(map(float, best["aucs"])),
                    "thresholds": list(map(float, best["thresholds"])),
                    "fingerprint": _cfg_fingerprint(cfg, scheme) if cfg else None}, f)
+    _clear_fold_state(save_dir, fold)
 
 
 def _fold_saver(save_dir: str, fold: int, model: str = "dsmil"):

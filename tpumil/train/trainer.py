@@ -34,7 +34,7 @@ from tpumil.train.optim import Optimizer, adam_torch
 
 
 def patch_dropout_mask(rng, mask, keep_frac: float):
-    """Randomly keep ``floor(n_valid * keep_frac)`` instances of a bag by
+    """Randomly keep ``int(n_valid * keep_frac)`` instances of a bag by
     masking the rest — the static-shape equivalent of the reference's random
     row subsetting (train_tcga.py:78-83; note the reference README calls this
     "duplication" but the code subsamples — we follow the code)."""
@@ -43,7 +43,15 @@ def patch_dropout_mask(rng, mask, keep_frac: float):
     u = jnp.where(mask, u, jnp.inf)
     order = jnp.argsort(u)
     rank = jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
-    k = jnp.floor(jnp.sum(mask).astype(jnp.float32) * keep_frac).astype(jnp.int32)
+    # The kept count must be the reference's exact int(num_rows * p) in
+    # float64 (train_tcga.py:79): computing it as floor(f32(n) * f32(p))
+    # in-trace differs by one on thousands of (n, p) pairs (f32(2150) *
+    # f32(0.94) rounds to 2021.0; float64 gives 2020.99..., int -> 2020).
+    # n_valid is traced but bounded by the static bucket length, so the
+    # float64 arithmetic happens at trace time as a lookup table.
+    k_table = jnp.asarray((np.arange(n + 1, dtype=np.float64)
+                           * float(keep_frac)).astype(np.int32))
+    k = jnp.take(k_table, jnp.sum(mask).astype(jnp.int32))
     return mask & (rank < k)
 
 
@@ -567,16 +575,24 @@ class BagTrainer:
         return feats, mask, labels, np.arange(b_pad) < b_real
 
     def train_epoch(self, params, opt_state, bags, lr: float,
-                    rng: np.random.Generator) -> Tuple[dict, object, float]:
-        """One epoch of shuffled per-bag steps (train_tcga.py:55-76).
+                    rng: np.random.Generator, *, shuffle: bool = True,
+                    ) -> Tuple[dict, object, float]:
+        """One epoch of per-bag steps. ``shuffle=True`` visits bags in a
+        fresh random order (train_tcga.py:57 shuffles every epoch);
+        ``shuffle=False`` keeps the given order (train_mil.py:44 iterates
+        its one fixed post-split order — the classic-MIL bench semantics).
+        Either way the order is grouped into same-padded-length buckets
+        (data/bags.bucketed_chunks), a documented static-shape deviation.
         ``bags`` may be a Sequence[Bag] (features shipped per chunk) or a
         DeviceBagStore (features resident in HBM — the fast path).
         Returns (params, opt_state, mean_loss)."""
         from tpumil.data.device_store import DeviceBagStore
 
         if isinstance(bags, DeviceBagStore):
-            return self._train_epoch_store(params, opt_state, bags, lr, rng)
-        order = rng.permutation(len(bags))
+            return self._train_epoch_store(params, opt_state, bags, lr, rng,
+                                           shuffle=shuffle)
+        order = rng.permutation(len(bags)) if shuffle \
+            else np.arange(len(bags))
         total = 0.0
         lr = jnp.asarray(lr, jnp.float32)
         for idxs, nmax in bucketed_chunks(bags, order, self.chunk_size, self.min_bucket):
@@ -594,12 +610,13 @@ class BagTrainer:
         return params, opt_state, total / max(len(bags), 1)
 
     @staticmethod
-    def _bucket_perm(store, nmax, rng):
-        """Shuffled real rows followed by the count-padding dummies, with a
-        matching real-flag vector."""
+    def _bucket_perm(store, nmax, rng, shuffle: bool = True):
+        """(Optionally shuffled) real rows followed by the count-padding
+        dummies, with a matching real-flag vector."""
         b_pad = store.buckets[nmax][0].shape[0]
         n_real = store.counts.get(nmax, b_pad)
-        perm = np.concatenate([rng.permutation(n_real),
+        perm = np.concatenate([rng.permutation(n_real) if shuffle
+                               else np.arange(n_real),
                                np.arange(n_real, b_pad)])
         real = np.arange(b_pad) < n_real
         return perm, real
@@ -657,18 +674,19 @@ class BagTrainer:
 
     def _train_epoch_store(self, params, opt_state, store, lr,
                            rng: np.random.Generator, *,
-                           defer_losses: bool = False):
+                           defer_losses: bool = False, shuffle: bool = True):
         """One epoch over a DeviceBagStore. With ``defer_losses`` the
         per-bucket loss sums come back as DEVICE scalars (no host sync —
         dispatches pipeline); otherwise returns the mean loss as a float."""
         lr = jnp.asarray(lr, jnp.float32)
         losses = []
         sizes = list(store.bucket_sizes)
-        rng.shuffle(sizes)
+        if shuffle:
+            rng.shuffle(sizes)
         for nmax in sizes:
             feats, mask, labels = store.buckets[nmax]
             b = feats.shape[0]
-            perm, real = self._bucket_perm(store, nmax, rng)
+            perm, real = self._bucket_perm(store, nmax, rng, shuffle)
             keys = jax.random.split(
                 jax.random.PRNGKey(int(rng.integers(1 << 62))), b)
             params, opt_state, loss = self._train_bucket_any(
