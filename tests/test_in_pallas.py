@@ -74,3 +74,18 @@ def test_pick_bn_respects_vmem_budget():
     # stem-sized planes always fit at least one sample per block (measured
     # to run on chip despite exceeding the nominal budget)
     assert _pick_bn(128, 6272, 4) == 1
+
+
+def test_fused_in_constant_plane_no_nan(rng):
+    """A constant (sample, channel) plane (blank/background WSI tile) has
+    true variance 0; the one-pass E[x^2]-mean^2 form can round NEGATIVE
+    (error scales with mean^2), where rsqrt(var+EPS) would NaN. The clamp
+    must keep the output finite and matching the two-pass XLA norm."""
+    x = np.full((2, 8, 8, 64), 3.7, np.float32)
+    x[1] += rng.standard_normal((8, 8, 64)).astype(np.float32) * 1e-4
+    got = np.asarray(fused_instance_norm(jnp.asarray(x), interpret=True))
+    assert np.isfinite(got).all()
+    cfg = resnet.ResNetConfig(depth=18, norm="instance")
+    want = np.asarray(resnet._norm({}, jnp.asarray(x), "conv1.weight", cfg))
+    assert np.isfinite(want).all()
+    np.testing.assert_allclose(got, want, atol=2e-2)

@@ -50,3 +50,17 @@ def test_fused_bag_forward_matches_xla(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(max_got), np.asarray(max_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_bag_forward_rejects_passing_v(rng):
+    """The kernel pools RAW feats as the value stream; a passing_v
+    checkpoint (params['v'] non-empty) must be refused, not silently given
+    wrong logits."""
+    from tpumil.models import dsmil
+    from tpumil.models.dsmil import DSMILConfig
+
+    cfg = DSMILConfig(feats_size=64, num_classes=2, passing_v=True)
+    params = dsmil.init_params(jax.random.PRNGKey(0), cfg)
+    feats = rng.standard_normal((1024, 64)).astype(np.float32)
+    with pytest.raises(ValueError, match="passing_v"):
+        fused_bag_forward(params, jnp.asarray(feats), 1000, interpret=True)

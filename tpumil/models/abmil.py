@@ -24,6 +24,10 @@ from tpumil.models.dsmil import DSMILConfig, _linear
 from tpumil.ops.init import orthogonal_torch
 from tpumil.ops.masked import masked_max, masked_softmax
 
+# ABMIL's OWN gated-attention hidden width (Ilse et al. 2018 use L=128 for
+# the small datasets) — deliberately independent of dsmil.ATTN_DIM (the
+# DSMIL query dim), which just happens to share the value; changing one
+# must not change the other's checkpoints.
 ATTN_DIM = 128
 
 

@@ -392,21 +392,37 @@ def make_fused_bag_train_step(cfg, optimizer, *, tile_n: int = 1024,
     reference dual objective (train_tcga.py:68-71). Requires nonlinear q and
     passing_v=False (the reference defaults).
     """
+    assert cfg.nonlinear and not cfg.passing_v
+    pool = make_trainable_pool(tile_n=tile_n, nonlinear=True,
+                               interpret=interpret)
+    loss_fn = make_fused_bag_loss(pool)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, feats, n_valid_arr, label, lr):
+        loss, grads = jax.value_and_grad(loss_fn)(params, feats, n_valid_arr,
+                                                  label, pos_weight)
+        params, opt_state = optimizer.step(params, opt_state, grads, lr)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_fused_bag_loss(pool):
+    """The dual-stream DSMIL loss through a fused trainable pool — the ONE
+    definition shared by the production trainer (train/trainer.py
+    _fused_fns) and the standalone step above, so a masking/precision fix
+    cannot silently diverge the two. ``pool`` comes from
+    :func:`make_trainable_pool` (nonlinear q, passing_v=False)."""
     from tpumil.models.dsmil import apply_q, instance_logits
     from tpumil.ops.losses import dual_stream_loss
     from tpumil.ops.masked import masked_argmax, masked_max
 
-    assert cfg.nonlinear and not cfg.passing_v
-    pool = make_trainable_pool(tile_n=tile_n, nonlinear=True,
-                               interpret=interpret)
-
-    def loss_fn(params, feats, n_valid_arr, label):
+    def loss_fn(params, feats, n_valid_arr, label, pos_weight=None):
         n = feats.shape[0]
         mask = jnp.arange(n) < n_valid_arr[0]
         c_logits = instance_logits(params, feats)
         crit = masked_argmax(c_logits, mask, axis=0)
-        m_feats = feats[crit]
-        q_max = apply_q(params, m_feats)
+        q_max = apply_q(params, feats[crit])
         q = params["q"]
         bemb = pool(feats, q["w0"], q["b0"], q["w2"], q["b2"], q_max,
                     n_valid_arr)
@@ -416,14 +432,7 @@ def make_fused_bag_train_step(cfg, optimizer, *, tile_n: int = 1024,
         max_logits = masked_max(c_logits, mask, axis=0)
         return dual_stream_loss(bag_logits, max_logits, label, pos_weight)
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, feats, n_valid_arr, label, lr):
-        loss, grads = jax.value_and_grad(loss_fn)(params, feats, n_valid_arr,
-                                                  label)
-        params, opt_state = optimizer.step(params, opt_state, grads, lr)
-        return params, opt_state, loss
-
-    return step
+    return loss_fn
 
 
 def fused_bag_forward(params, feats, n_valid, *, tile_n: int = 1024,
@@ -439,6 +448,11 @@ def fused_bag_forward(params, feats, n_valid, *, tile_n: int = 1024,
     from tpumil.models.dsmil import apply_q, instance_logits
     from tpumil.ops.masked import masked_argmax, masked_max
 
+    if params.get("v"):
+        # the kernel pools raw feats as the value stream; silently ignoring
+        # a passing_v checkpoint's v-projection would return wrong logits
+        raise ValueError("fused_bag_forward requires passing_v=False "
+                         "(params contain a 'v' projection)")
     n = feats.shape[0]
     mask = jnp.arange(n) < n_valid
     c_logits = instance_logits(params, feats)                 # [N, C]

@@ -68,7 +68,11 @@ def _kernel(*refs, bn, s, count, folded, relu):
                                   preferred_element_type=jnp.float32,
                                   precision=jax.lax.Precision.HIGHEST)
     mean = ssum / count
-    var = ssq / count - mean * mean              # biased, like torch IN
+    # biased, like torch IN. The one-pass form can round NEGATIVE on
+    # near-constant planes (f32 error in ssq/count - mean^2 scales with
+    # mean^2), where rsqrt(var + EPS) would NaN — clamp to the two-pass
+    # formula's non-negative domain (resnet._norm can never go negative).
+    var = jnp.maximum(ssq / count - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + EPS)
     y = (x - mean[:, None, :]) * inv[:, None, :]
     if relu:

@@ -30,6 +30,11 @@ def bce_with_logits(logits, labels, pos_weight=None, reduction: str = "mean"):
         return jnp.mean(loss)
     if reduction == "sum":
         return jnp.sum(loss)
+    if reduction != "none":
+        # a typo ("Mean", "avg") must not silently return the unreduced
+        # array where the caller expected a scalar
+        raise ValueError(f"reduction must be 'mean', 'sum' or 'none', "
+                         f"got {reduction!r}")
     return loss
 
 

@@ -95,10 +95,18 @@ def _stem_kernel(xp_ref, w_ref, out_ref, colt_ref, *, acc_dtype):
         colt_ref[t * C_S2D:(t + 1) * C_S2D, :] = xc[:, off: off + Q]
 
     # conv as one transposed-LHS MXU matmul, f32 accumulation, rounded to
-    # the compute dtype exactly like the unfused path materializes conv out
+    # the compute dtype exactly like the unfused path materializes conv out.
+    # precision must follow the stream dtype: at DEFAULT the MXU feeds
+    # bf16-rounded operands even for f32 inputs (the dsmil_pallas.py f32
+    # path measured 1.7e-1 maxabs from exactly this), which would break the
+    # f32 stem's parity claim; bf16 streams keep DEFAULT (operands already
+    # bf16).
+    prec = (jax.lax.Precision.HIGHEST if colt_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
     out = jax.lax.dot_general(
         colt_ref[:], w_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(cdtype)    # [12880, 64]
+        preferred_element_type=jnp.float32,
+        precision=prec).astype(cdtype)    # [12880, 64]
 
     # InstanceNorm2d(affine=False) stats over the 12544 REAL pixels: mask
     # the 3 junk columns per row (right spatial pad) and the 3 tail rows.

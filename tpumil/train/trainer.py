@@ -372,30 +372,17 @@ class BagTrainer:
         if tile in self._fused_fns_cache:
             return self._fused_fns_cache[tile]
 
-        from tpumil.models.dsmil import apply_q, instance_logits
-        from tpumil.ops.dsmil_pallas import fused_bag_forward, make_trainable_pool
-        from tpumil.ops.masked import masked_argmax, masked_max
+        from tpumil.ops.dsmil_pallas import (fused_bag_forward,
+                                             make_fused_bag_loss,
+                                             make_trainable_pool)
 
         interpret = jax.default_backend() != "tpu"  # Mosaic needs a TPU
         pool = make_trainable_pool(tile_n=tile, nonlinear=True,
                                    interpret=interpret)
-
-        def fused_loss(p, f, nv_arr, y, pw):
-            # bag_loss through the fused pool (same math as mil.forward for
-            # the eligible configuration; gradient parity pinned in
-            # tests/test_pallas_backward.py)
-            n = f.shape[0]
-            mask = jnp.arange(n) < nv_arr[0]
-            c_logits = instance_logits(p, f)
-            crit = masked_argmax(c_logits, mask, axis=0)
-            q_max = apply_q(p, f[crit])
-            q = p["q"]
-            bemb = pool(f, q["w0"], q["b0"], q["w2"], q["b2"], q_max, nv_arr)
-            bag_logits = jnp.einsum("ck,dck->d", bemb, p["fcc"]["w"],
-                                    precision=jax.lax.Precision.HIGHEST) \
-                + p["fcc"]["b"]
-            return dual_stream_loss(
-                bag_logits, masked_max(c_logits, mask, axis=0), y, pw)
+        # bag loss through the fused pool (same math as mil.forward for the
+        # eligible configuration; gradient parity pinned in
+        # tests/test_pallas_backward.py) — the ONE shared definition
+        fused_loss = make_fused_bag_loss(pool)
 
         def _gated(p, s, i, real, feats, n_valid, labels, lr, pw):
             f = jnp.take(feats, i, axis=0)
